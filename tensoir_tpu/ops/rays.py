@@ -1,0 +1,125 @@
+"""Ray generation / marching primitives (static shapes, jit-friendly).
+
+Replaces the reference's sampling routines:
+* `sample_ray` fixed-step AABB marching with per-ray train jitter
+  (tensorBase_rotated_lights.py:705-724)
+* `sample_ray_equally` for secondary visibility rays (relight_utils.py:707-722)
+* `sample_pdf` inverse-CDF hierarchical sampling (dataLoader/ray_utils.py:130-172)
+* `dda` ray-AABB test used by ray filtering (tensorBase_rotated_lights.py:794-800)
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def aabb_ray_tmin(rays_o, rays_d, aabb, near: float, far: float):
+    """Entry distance of each ray into the AABB, clamped to [near, far].
+
+    Matches tensorBase_rotated_lights.py:709-712.
+    """
+    vec = jnp.where(rays_d == 0, jnp.full_like(rays_d, 1e-6), rays_d)
+    rate_a = (aabb[1] - rays_o) / vec
+    rate_b = (aabb[0] - rays_o) / vec
+    t_min = jnp.minimum(rate_a, rate_b).max(-1)
+    return jnp.clip(t_min, near, far)
+
+
+def aabb_intersect(rays_o, rays_d, aabb):
+    """(t_min, t_max, hit) for ray/AABB — the `bbox_only` ray filter
+    (tensorBase_rotated_lights.py:794-800)."""
+    vec = jnp.where(rays_d == 0, jnp.full_like(rays_d, 1e-6), rays_d)
+    rate_a = (aabb[1] - rays_o) / vec
+    rate_b = (aabb[0] - rays_o) / vec
+    t_min = jnp.minimum(rate_a, rate_b).max(-1)
+    t_max = jnp.maximum(rate_a, rate_b).min(-1)
+    return t_min, t_max, t_max > t_min
+
+
+def sample_ray(rays_o, rays_d, aabb, near: float, far: float, step_size,
+               n_samples: int, key=None):
+    """Fixed-step ray marching from the AABB entry point.
+
+    Train-time jitter adds ONE uniform offset per ray shared by all its
+    samples (reference: `rng += torch.rand_like(rng[:, [0]])`,
+    tensorBase_rotated_lights.py:714-717). Pass `key=None` for eval.
+
+    Returns:
+      xyz:    [N, S, 3] sample positions
+      z_vals: [N, S] distances along the ray
+      valid:  [N, S] bool, inside-AABB mask
+    """
+    N = rays_o.shape[0]
+    t_min = aabb_ray_tmin(rays_o, rays_d, aabb, near, far)
+    rng = jnp.arange(n_samples, dtype=rays_o.dtype)[None, :]
+    if key is not None:
+        rng = rng + jax.random.uniform(key, (N, 1), dtype=rays_o.dtype)
+    step = step_size * rng
+    z_vals = t_min[:, None] + step
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    valid = jnp.all((xyz >= aabb[0]) & (xyz <= aabb[1]), axis=-1)
+    return xyz, z_vals, valid
+
+
+def sample_ray_equally(rays_o, rays_d, aabb, vis_near: float, vis_far: float,
+                       n_samples: int):
+    """Equally spaced samples in [vis_near, vis_far] along secondary rays
+    (relight_utils.py:707-722). No jitter, shared z grid.
+
+    Returns (xyz [N,S,3], z_vals [1,S], valid [N,S])."""
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=rays_o.dtype)
+    z_vals = (vis_near * (1.0 - t) + vis_far * t)[None, :]
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    valid = jnp.all((xyz >= aabb[0]) & (xyz <= aabb[1]), axis=-1)
+    return xyz, z_vals, valid
+
+
+def z_to_dists(z_vals):
+    """Consecutive sample spacing with trailing zero
+    (tensorBase_rotated_lights.py:887)."""
+    return jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1], jnp.zeros_like(z_vals[..., :1])],
+        axis=-1,
+    )
+
+
+def sample_pdf(bins, weights, n_samples: int, key=None):
+    """Inverse-CDF sampling (dataLoader/ray_utils.py:130-172).
+
+    Args:
+      bins: [B, M+1] bin edges; weights: [B, M]; key None => deterministic.
+    Returns samples [B, n_samples].
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+
+    if key is None:
+        u = jnp.linspace(0.0, 1.0, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_g0 = jnp.take_along_axis(cdf, below, -1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, -1)
+    bins_g0 = jnp.take_along_axis(bins, below, -1)
+    bins_g1 = jnp.take_along_axis(bins, above, -1)
+
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_g0) / denom
+    return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+def safe_l2_normalize(x, axis=-1, eps: float = 1e-6):
+    """Matches F.normalize(p=2, eps=1e-6): x / max(||x||, eps)
+    (dataLoader/ray_utils.py:278-279)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
