@@ -1,0 +1,112 @@
+"""Procedural synthetic scene for tests and benchmarks.
+
+No TensoIR-Synthetic data ships with this repo, so tests/benchmarks use an
+analytic scene: a lambertian sphere lit by a directional light on a white
+background. Ground-truth renders come from closed-form ray/sphere
+intersection, so the dataset satisfies the same data contract as the real
+loaders (SURVEY.md §2.2: flat `all_rays [N,6]`, `all_rgbs [N,3]`,
+`all_light_idx [N,1]`, `scene_bbox`, `near_far`, `white_bg`, `img_wh`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+from tensoir_tpu.data.ray_utils import (
+    get_ray_directions_blender,
+    get_rays,
+    look_at,
+)
+
+
+def _sphere_hit(rays_o, rays_d, center, radius):
+    """Closed-form ray/sphere intersection. Returns (hit_mask, t_hit)."""
+    oc = rays_o - center
+    a = np.sum(rays_d * rays_d, -1)
+    b = 2.0 * np.sum(oc * rays_d, -1)
+    c = np.sum(oc * oc, -1) - radius * radius
+    disc = b * b - 4 * a * c
+    hit = disc > 0
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t = (-b - sq) / (2 * a)
+    hit = hit & (t > 0)
+    return hit, t
+
+
+class SyntheticSphereDataset:
+    """Lambertian sphere; analytic rgb/depth/normal/albedo ground truth."""
+
+    def __init__(self, split="train", n_views=8, img_wh=(64, 64),
+                 radius=0.6, albedo=(0.8, 0.3, 0.2),
+                 light_dir=(0.5, 0.3, 0.8), ambient=0.25,
+                 cam_radius=4.0, light_num=1, seed=0):
+        self.split = split
+        self.img_wh = img_wh
+        self.white_bg = True
+        self.near_far = [2.0, 6.0]
+        self.scene_bbox = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]],
+                                   np.float32)
+        self.radius = radius
+        self.albedo = np.asarray(albedo, np.float32)
+        self.light_dir = np.asarray(light_dir, np.float32)
+        self.light_dir /= np.linalg.norm(self.light_dir)
+        self.ambient = ambient
+        self.light_num = light_num
+
+        w, h = img_wh
+        focal = 0.5 * w / np.tan(0.5 * 0.69)  # ~40deg fov
+        directions = get_ray_directions_blender(h, w, focal)
+
+        rng = np.random.default_rng(seed)
+        phase = 0.0 if split == "train" else 0.5 * np.pi / n_views
+        rays, rgbs, normals, depths, masks = [], [], [], [], []
+        for k in range(n_views):
+            ang = 2 * np.pi * k / n_views + phase
+            z = 1.2 + 0.8 * np.sin(ang * 1.7)
+            eye = np.array([cam_radius * np.cos(ang),
+                            cam_radius * np.sin(ang), z])
+            eye = eye / np.linalg.norm(eye) * cam_radius
+            c2w = look_at(eye)
+            o, d = get_rays(directions, c2w)
+            rgb, nrm, dep, msk = self._render_gt(o, d)
+            rays.append(np.concatenate([o, d], -1))
+            rgbs.append(rgb)
+            normals.append(nrm)
+            depths.append(dep)
+            masks.append(msk)
+
+        self.all_rays = np.concatenate(rays, 0)
+        self.all_rgbs = np.concatenate(rgbs, 0)
+        self.all_normals = np.concatenate(normals, 0)
+        self.all_depths = np.concatenate(depths, 0)
+        self.all_masks = np.concatenate(masks, 0)
+        self.all_light_idx = np.zeros((self.all_rays.shape[0], 1), np.int32)
+        self.n_views = n_views
+
+    def _render_gt(self, rays_o, rays_d):
+        hit, t = _sphere_hit(rays_o, rays_d, np.zeros(3), self.radius)
+        pts = rays_o + t[:, None] * rays_d
+        normal = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True),
+                                  1e-8)
+        lambert = np.clip(np.sum(normal * self.light_dir, -1), 0, None)
+        shade = self.ambient + (1 - self.ambient) * lambert
+        rgb = self.albedo[None] * shade[:, None]
+        rgb = np.where(hit[:, None], rgb, 1.0).astype(np.float32)
+        normal = np.where(hit[:, None], normal, 0.0).astype(np.float32)
+        depth = np.where(hit, t, 0.0).astype(np.float32)
+        return rgb, normal, depth, hit.astype(np.float32)
+
+    def view(self, k: int):
+        """Per-view slices (stacked layout for eval tests)."""
+        w, h = self.img_wh
+        n = w * h
+        sl = slice(k * n, (k + 1) * n)
+        return {
+            "rays": self.all_rays[sl],
+            "rgbs": self.all_rgbs[sl],
+            "normals": self.all_normals[sl],
+            "depths": self.all_depths[sl],
+            "masks": self.all_masks[sl],
+        }

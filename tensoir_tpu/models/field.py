@@ -1,0 +1,322 @@
+"""The TensoIR radiance+BRDF tensor field (TPU-native core).
+
+One parameterized implementation replaces the reference's three duplicated
+model-file pairs (models/tensorBase_rotated_lights.py + tensoRF_rotated_lights.py,
+the *_general_multi_lights variants, and the legacy *_init pair — see
+SURVEY.md §2.3/§2.4):
+
+* VM decomposition ('vm'): 3 planes [H, W, R] + 3 lines [D, R]
+  (channels-last; reference keeps [1, R, H, W] NCHW) with
+  matMode=((0,1),(0,2),(1,2)), vecMode=(2,1,0)
+  (tensoRF_rotated_lights.py:11-29, tensorBase_rotated_lights.py:398-399).
+* CP decomposition ('cp'): lines only (tensoRF_init.py:308-436).
+* `light_line` embedding [light_num, sum(Ra)] — TensoIR's multi-light
+  factorization (tensoRF_rotated_lights.py:16).
+* basis matrix [sum(Ra), app_dim] (bias-free Linear, tensoRF_rotated_lights.py:14).
+* shading / BRDF / normal MLPs (models/mlps.py) and the light model
+  (models/lighting.py).
+
+Everything is a pytree of arrays + a hashable static FieldConfig; all queries
+are pure functions usable under jit/grad/vmap. Density queries are twice
+differentiable w.r.t. coordinates by construction, giving the derived-normals
+second-order path (reference tensorBase_rotated_lights.py:839-856) for free.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensoir_tpu.models import mlps
+from tensoir_tpu.models import lighting
+from tensoir_tpu.ops.interp import bilerp_plane, lerp_line, trilerp_volume
+from tensoir_tpu.ops.rays import safe_l2_normalize
+
+MAT_MODE = ((0, 1), (0, 2), (1, 2))
+VEC_MODE = (2, 1, 0)
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    density_n_comp: Tuple[int, int, int] = (16, 16, 16)
+    app_n_comp: Tuple[int, int, int] = (48, 48, 48)
+    app_dim: int = 27
+    decomp: str = "vm"  # 'vm' | 'cp'
+    shading_mode: str = "MLP_Fea"  # MLP_Fea | MLP_PE | MLP | SH | RGB
+    normals_kind: str = "derived_plus_predicted"
+    light_kind: str = "sg"  # 'sg' | 'pixel' | 'gt'
+    per_light_sg: bool = False  # general-multi-lights: one SG set per light
+    light_num: int = 1
+    light_rotations: Tuple[int, ...] = (0,)
+    num_sgs: int = 128
+    envmap_h: int = 16
+    envmap_w: int = 32
+    fea2dense: str = "softplus"
+    density_shift: float = -10.0
+    distance_scale: float = 25.0
+    raymarch_weight_thres: float = 1e-4
+    alpha_mask_thres: float = 1e-4
+    step_ratio: float = 0.5
+    pos_pe: int = 2
+    view_pe: int = 2
+    fea_pe: int = 2
+    feature_c: int = 128
+    fixed_fresnel: float = 0.04
+    near_far: Tuple[float, float] = (2.0, 6.0)
+    compute_dtype: str = "float32"
+
+    @property
+    def needs_normal_mlp(self) -> bool:
+        return self.normals_kind in (
+            "purely_predicted", "derived_plus_predicted", "residue_prediction"
+        )
+
+    @property
+    def cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def grid_size_of(params: Dict) -> Tuple[int, int, int]:
+    """Recover (X, Y, Z) grid resolution from factor shapes."""
+    return (params["density_line_2"].shape[0],
+            params["density_line_1"].shape[0],
+            params["density_line_0"].shape[0])
+
+
+def init_field_params(key, cfg: FieldConfig, grid_size, aabb,
+                      gt_envmap=None):
+    """Build (params, scene) pytrees.
+
+    grid_size: (X, Y, Z) ints. aabb: [2, 3] array-like.
+    Factor init is 0.1*randn (tensoRF_rotated_lights.py:19-29); light_line is
+    standard-normal (torch Embedding default).
+    """
+    keys = jax.random.split(key, 24)
+    ki = iter(keys)
+    params: Dict[str, jax.Array] = {}
+
+    for name, ncomp in (("density", cfg.density_n_comp),
+                        ("app", cfg.app_n_comp)):
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            vec = VEC_MODE[i]
+            if cfg.decomp == "vm":
+                params[f"{name}_plane_{i}"] = 0.1 * jax.random.normal(
+                    next(ki), (grid_size[m1], grid_size[m0], ncomp[i]))
+            params[f"{name}_line_{i}"] = 0.1 * jax.random.normal(
+                next(ki), (grid_size[vec], ncomp[i]))
+
+    sum_ra = sum(cfg.app_n_comp)
+    bound = 1.0 / np.sqrt(sum_ra)
+    params["basis_mat"] = jax.random.uniform(
+        next(ki), (sum_ra, cfg.app_dim), minval=-bound, maxval=bound)
+    params["light_line"] = jax.random.normal(next(ki), (cfg.light_num, sum_ra))
+
+    # shading decoders
+    if cfg.shading_mode == "MLP_Fea":
+        in_dim = mlps.render_fea_in_dim(cfg.app_dim, cfg.view_pe, cfg.fea_pe)
+    elif cfg.shading_mode == "MLP_PE":
+        in_dim = mlps.render_pe_in_dim(cfg.app_dim, cfg.view_pe, cfg.pos_pe)
+    elif cfg.shading_mode == "MLP":
+        in_dim = mlps.render_plain_in_dim(cfg.app_dim, cfg.view_pe)
+    else:
+        in_dim = 0
+    if in_dim:
+        params["render_mlp"] = mlps.init_mlp(next(ki), in_dim, cfg.feature_c, 3)
+
+    params["brdf_mlp"] = mlps.init_mlp(
+        next(ki), mlps.brdf_pe_fea_in_dim(cfg.app_dim, cfg.pos_pe, cfg.fea_pe),
+        cfg.feature_c, 4)
+    if cfg.normals_kind in ("purely_predicted", "derived_plus_predicted"):
+        params["normal_mlp"] = mlps.init_mlp(
+            next(ki),
+            mlps.brdf_pe_fea_in_dim(cfg.app_dim, cfg.pos_pe, cfg.fea_pe),
+            cfg.feature_c, 3)
+    elif cfg.normals_kind == "residue_prediction":
+        params["normal_mlp"] = mlps.init_mlp(
+            next(ki),
+            mlps.normal_residue_in_dim(cfg.app_dim, cfg.pos_pe, cfg.fea_pe),
+            cfg.feature_c, 3)
+
+    # light params
+    if cfg.light_kind == "sg":
+        if cfg.per_light_sg:
+            sgs = jnp.stack(
+                [lighting.init_sg_params(k, cfg.num_sgs)
+                 for k in jax.random.split(next(ki), cfg.light_num)])
+        else:
+            sgs = lighting.init_sg_params(next(ki), cfg.num_sgs)
+        params["lgt_sgs"] = sgs
+    elif cfg.light_kind == "pixel":
+        params["light_pixel"] = jax.random.uniform(
+            next(ki), (cfg.envmap_h * cfg.envmap_w, 3), minval=0.0, maxval=3.0)
+
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+
+    scene = {
+        "aabb": jnp.asarray(aabb, jnp.float32).reshape(2, 3),
+        # alpha mask starts as a permissive 2^3 volume of ones so that the
+        # jitted forward has a static structure before the first
+        # updateAlphaMask (the reference branches on alphaMask is None).
+        "alpha_volume": jnp.ones((2, 2, 2), jnp.float32),
+        "alpha_aabb": jnp.asarray(aabb, jnp.float32).reshape(2, 3),
+        "has_alpha_mask": jnp.asarray(0.0, jnp.float32),
+    }
+    if gt_envmap is not None:
+        scene["gt_envmap"] = jnp.asarray(gt_envmap, jnp.float32)
+    return params, scene
+
+
+# ------------------------------------------------------------------ geometry
+
+def normalize_coord(aabb, xyz):
+    """World -> [-1, 1] (tensorBase_rotated_lights.py:640-641)."""
+    return (xyz - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
+
+
+def step_size(aabb, grid_size: Tuple[int, int, int], step_ratio: float):
+    """mean(voxel units) * step_ratio (tensorBase_rotated_lights.py:608-618)."""
+    units = (aabb[1] - aabb[0]) / (jnp.asarray(grid_size, jnp.float32) - 1.0)
+    return jnp.mean(units) * step_ratio
+
+
+def num_samples_for(aabb_np, grid_size, step_ratio: float) -> int:
+    """Static sample count: diag / stepSize + 1 (host-side, numpy)."""
+    aabb_np = np.asarray(aabb_np).reshape(2, 3)
+    size = aabb_np[1] - aabb_np[0]
+    units = size / (np.asarray(grid_size, np.float64) - 1.0)
+    step = float(np.mean(units) * step_ratio)
+    diag = float(np.linalg.norm(size))
+    return int(diag / step) + 1
+
+
+# ------------------------------------------------------------------- queries
+
+def density_feature(cfg: FieldConfig, params: Dict, coords):
+    """sigma feature = sum_i <plane_i(c), line_i(c)> (tensoRF_rotated_lights.py:95-110).
+
+    coords: [..., 3] normalized. Twice differentiable w.r.t. coords — the
+    same code serves compute_densityfeature and
+    compute_densityfeature_with_xyz_grad from the reference.
+    """
+    if cfg.decomp == "cp":
+        prod = None
+        for i in range(3):
+            lf = lerp_line(params[f"density_line_{i}"],
+                           coords[..., VEC_MODE[i]])
+            prod = lf if prod is None else prod * lf
+        return jnp.sum(prod, axis=-1)
+    total = jnp.zeros(coords.shape[:-1], coords.dtype)
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        lf = lerp_line(params[f"density_line_{i}"], coords[..., VEC_MODE[i]])
+        pf = bilerp_plane(params[f"density_plane_{i}"],
+                          coords[..., m0], coords[..., m1])
+        total = total + jnp.sum(pf * lf, axis=-1)
+    return total
+
+
+def _app_raw_feature(cfg: FieldConfig, params: Dict, coords):
+    """Concatenated per-component appearance features [..., sum(Ra)]."""
+    feats = []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        lf = lerp_line(params[f"app_line_{i}"], coords[..., VEC_MODE[i]])
+        if cfg.decomp == "vm":
+            pf = bilerp_plane(params[f"app_plane_{i}"],
+                              coords[..., m0], coords[..., m1])
+            feats.append(pf * lf)
+        else:
+            feats.append(lf)
+    if cfg.decomp == "cp":
+        prod = feats[0] * feats[1] * feats[2]
+        return prod
+    return jnp.concatenate(feats, axis=-1)
+
+
+def both_features(cfg: FieldConfig, params: Dict, coords, light_idx):
+    """(radiance_feat, intrinsic_feat) per point.
+
+    radiance = basis((pl * light_line[light_idx]));
+    intrinsic = basis((pl * mean_l light_line[l])) — intrinsics are
+    light-averaged by construction (tensoRF_rotated_lights.py:132-165).
+    """
+    pl = _app_raw_feature(cfg, params, coords)                  # [..., sumRa]
+    lc = jnp.take(params["light_line"], light_idx, axis=0)      # [..., sumRa]
+    mean_lc = jnp.mean(params["light_line"], axis=0)            # [sumRa]
+    dt = cfg.cdtype
+    basis = params["basis_mat"].astype(dt)
+    rad = jnp.dot((pl * lc).astype(dt), basis,
+                  preferred_element_type=jnp.float32)
+    intr = jnp.dot((pl * mean_lc).astype(dt), basis,
+                   preferred_element_type=jnp.float32)
+    return rad, intr
+
+
+def app_feature(cfg: FieldConfig, params: Dict, coords, light_idx):
+    """Radiance feature only (tensoRF_rotated_lights.py:197-224)."""
+    pl = _app_raw_feature(cfg, params, coords)
+    lc = jnp.take(params["light_line"], light_idx, axis=0)
+    return jnp.dot((pl * lc).astype(cfg.cdtype),
+                   params["basis_mat"].astype(cfg.cdtype),
+                   preferred_element_type=jnp.float32)
+
+
+def intrin_feature(cfg: FieldConfig, params: Dict, coords):
+    """Intrinsic (light-averaged) feature only (tensoRF_rotated_lights.py:167-195)."""
+    pl = _app_raw_feature(cfg, params, coords)
+    mean_lc = jnp.mean(params["light_line"], axis=0)
+    return jnp.dot((pl * mean_lc).astype(cfg.cdtype),
+                   params["basis_mat"].astype(cfg.cdtype),
+                   preferred_element_type=jnp.float32)
+
+
+def feature2density(cfg: FieldConfig, feat):
+    """softplus(feat + shift) or relu (tensorBase_rotated_lights.py:813-817)."""
+    if cfg.fea2dense == "softplus":
+        return jax.nn.softplus(feat + cfg.density_shift)
+    return jax.nn.relu(feat)
+
+
+def density(cfg: FieldConfig, params: Dict, coords):
+    return feature2density(cfg, density_feature(cfg, params, coords))
+
+
+def derived_normals(cfg: FieldConfig, params: Dict, coords):
+    """n = -normalize(d sigma / d xyz) (tensorBase_rotated_lights.py:839-856).
+
+    coords: [P, 3] normalized. Differentiable w.r.t. params (the gradient
+    flows through the double-backward path, matching create_graph=True).
+    """
+    grad_fn = jax.grad(lambda c: jnp.sum(density(cfg, params, c)))
+    g = grad_fn(coords)
+    return -safe_l2_normalize(g, axis=-1)
+
+
+# ---------------------------------------------------------------- alpha mask
+
+def sample_alpha_mask(scene: Dict, xyz):
+    """Trilinear alpha-mask lookup in world coords (AlphaGridMask.sample_alpha,
+    tensorBase_rotated_lights.py:112-119). Returns alpha values [...,].
+
+    Before the first updateAlphaMask, `has_alpha_mask` is 0 and this returns
+    all-ones (reference: alphaMask is None branch).
+    """
+    aabb = scene["alpha_aabb"]
+    norm = (xyz - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
+    vals = trilerp_volume(scene["alpha_volume"], norm)
+    return jnp.where(scene["has_alpha_mask"] > 0, vals, jnp.ones_like(vals))
+
+
+def compute_alpha_grid(cfg: FieldConfig, params: Dict, scene: Dict,
+                       grid, step):
+    """alpha = 1 - exp(-sigma * step) on dense world-space points
+    (compute_alpha, tensorBase_rotated_lights.py:819-837)."""
+    mask = sample_alpha_mask(scene, grid) > 0
+    coords = normalize_coord(scene["aabb"], grid)
+    sigma = jnp.where(mask, density(cfg, params, coords), 0.0)
+    return 1.0 - jnp.exp(-sigma * step)

@@ -1,0 +1,100 @@
+"""The rendering equation at surface points (render_with_BRDF,
+relight_utils.py:403-483), TPU-static.
+
+Given a G-buffer (depth/normal/albedo/roughness/fresnel per ray), sample
+incident light directions, march secondary rays for visibility + indirect
+light, evaluate the BRDF, and integrate the rendering equation.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensoir_tpu.models import field as F
+from tensoir_tpu.models import lighting
+from tensoir_tpu.ops.brdf import ggx_specular
+from tensoir_tpu.ops.color import linear2srgb
+from tensoir_tpu.ops.rays import safe_l2_normalize
+from tensoir_tpu.render.secondary import secondary_shading_tiled
+
+
+def incident_light_dirs(cfg: F.FieldConfig, sample_method: str,
+                        key: Optional[jax.Array]):
+    """Light-direction set for the integral (gen_light_incident_dirs,
+    tensorBase_rotated_lights.py:492-574). Returns [L, 3]."""
+    if sample_method == "fixed_envirmap" or key is None:
+        _, dirs = lighting.envmap_dirs(cfg.envmap_h, cfg.envmap_w)
+        return jnp.asarray(dirs)
+    if sample_method == "stratified_sampling":
+        return lighting.stratified_dirs(key, cfg.envmap_h, cfg.envmap_w)
+    if sample_method == "stratifed_sample_equal_areas":
+        return lighting.stratified_equal_area_dirs(key, cfg.envmap_h,
+                                                   cfg.envmap_w)
+    raise ValueError(f"unknown light sample method {sample_method}")
+
+
+def render_with_brdf(
+    cfg: F.FieldConfig,
+    params: Dict,
+    scene: Dict,
+    depth_map: jax.Array,      # [P]
+    normal_map: jax.Array,     # [P, 3]
+    albedo_map: jax.Array,     # [P, 3]
+    roughness_map: jax.Array,  # [P, 1]
+    fresnel_map: jax.Array,    # [P, 3]
+    rays: jax.Array,           # [P, 6]
+    light_idx: jax.Array,      # [P] int32
+    *,
+    sample_method: str = "stratified_sampling",
+    key: Optional[jax.Array] = None,
+    second_n_sample: int = 96,
+    second_near: float = 0.05,
+    second_far: float = 1.5,
+    secondary_tile: int = 16384,
+    use_linear2srgb: bool = True,
+) -> jax.Array:
+    """Physically-based RGB per ray [P, 3] (relight_utils.py:403-483)."""
+    P = rays.shape[0]
+    rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+    surface_xyz = rays_o + depth_map[:, None] * rays_d          # [P, 3]
+
+    area_weight, _ = lighting.envmap_dirs(cfg.envmap_h, cfg.envmap_w)
+    area_weight = jnp.asarray(area_weight)                      # [L]
+
+    in_dirs = incident_light_dirs(cfg, sample_method, key)      # [L, 3]
+    L = in_dirs.shape[0]
+    surf2l = jnp.broadcast_to(in_dirs[None], (P, L, 3))
+    surf2c = safe_l2_normalize(-rays_d, axis=-1)
+
+    # hemisphere cosine mask (relight_utils.py:433-435)
+    cosine = jnp.clip(jnp.einsum("plk,pk->pl", surf2l, normal_map), 0.0, None)
+    cosine_mask = cosine > 1e-6
+
+    visibility, indirect = secondary_shading_tiled(
+        cfg, params, scene, surface_xyz, surf2l, light_idx, cosine_mask,
+        n_sample=second_n_sample, vis_near=second_near, vis_far=second_far,
+        tile=secondary_tile)
+
+    specular = ggx_specular(normal_map, surf2c, surf2l, roughness_map,
+                            fresnel_map)                        # [P, L, 3]
+    surface_brdf = albedo_map[:, None, :] / np.pi + specular
+
+    env_rgbs = lighting.get_light_rgbs(
+        params, cfg, in_dirs, gt_envmap=scene.get("gt_envmap"))  # [Ln, L, 3]
+    direct = jnp.take(env_rgbs, light_idx, axis=0)               # [P, L, 3]
+
+    light_rgbs = visibility * direct + indirect                  # [P, L, 3]
+
+    if sample_method == "stratifed_sample_equal_areas":
+        rgb = jnp.mean(4.0 * np.pi * surface_brdf * light_rgbs
+                       * cosine[..., None], axis=1)
+    else:
+        rgb = jnp.sum(surface_brdf * light_rgbs * cosine[..., None]
+                      * area_weight[None, :, None], axis=1)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    if use_linear2srgb:
+        rgb = linear2srgb(rgb)
+    return rgb

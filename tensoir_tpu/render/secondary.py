@@ -1,0 +1,162 @@
+"""Secondary-ray marching: visibility + indirect radiance.
+
+Re-designs relight_utils.py:344-399/657-705/777-834 with static shapes and a
+scanned tiling over the (surface-point x light-dir) axis — the reference's
+`chunk_size=15000` Python loop becomes a `lax.map` over fixed tiles inside
+jit, and the whole pass is wrapped in stop_gradient at the call site
+(reference: @torch.no_grad on compute_secondary_shading_effects).
+
+This is the dominant hot loop of TensoIR training (SURVEY.md §3.1) and the
+framework's "context parallel" axis: tiles shard cleanly over the data mesh
+because every (point, dir) pair is independent.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tensoir_tpu.models import field as F
+from tensoir_tpu.render import primary
+from tensoir_tpu.ops.compositing import raw2alpha
+from tensoir_tpu.ops.rays import sample_ray_equally, z_to_dists
+
+
+def compute_radiance(
+    cfg: F.FieldConfig,
+    params: Dict,
+    scene: Dict,
+    surf_pts: jax.Array,       # [N, 3] world-space surface points
+    light_in_dir: jax.Array,   # [N, 3] surface->light unit dirs
+    light_idx: jax.Array,      # [N] int32
+    *,
+    n_sample: int = 96,
+    vis_near: float = 0.05,
+    vis_far: float = 1.5,
+    app_cap: int = 16,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """March a secondary ray: (nerv_vis, nerfactor_vis, indirect_light).
+
+    Matches relight_utils.py:777-834: sigma march in [vis_near, vis_far],
+    visibility = final transmittance ('nerv') or 1-acc ('nerfactor'),
+    indirect = weight-composited radiance-field RGB along the ray (queried
+    with `compute_appfeature`, i.e. the light-conditioned radiance).
+    """
+    aabb = scene["aabb"]
+    xyz, z_vals, valid = sample_ray_equally(
+        surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
+    dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
+
+    alphas = F.sample_alpha_mask(scene, xyz)
+    valid = valid & (alphas > 0)
+
+    coords = F.normalize_coord(aabb, xyz)
+    sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
+    alpha, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
+
+    # appearance on per-ray top-k samples (weight > thres in the reference)
+    N, S = sigma.shape
+    k = app_cap if 0 < app_cap < S else S
+    if k < S:
+        masked_w = jnp.where(weight > cfg.raymarch_weight_thres, weight, -1.0)
+        top_w, top_idx = jax.lax.top_k(masked_w, k)
+        sel_mask = top_w > 0.0
+    else:
+        top_idx = jnp.broadcast_to(jnp.arange(S)[None, :], (N, S))
+        sel_mask = weight > cfg.raymarch_weight_thres
+
+    pts_sel = jnp.take_along_axis(coords, top_idx[..., None], axis=1)
+    w_sel = jnp.take_along_axis(weight, top_idx, axis=1) * sel_mask
+    vdirs = jnp.broadcast_to(light_in_dir[:, None, :], pts_sel.shape)
+    lidx = jnp.broadcast_to(light_idx[:, None], pts_sel.shape[:2])
+
+    feat = F.app_feature(cfg, params, pts_sel, lidx)
+    rgb = primary.shade_radiance(cfg, params, pts_sel, vdirs, feat)
+    indirect = jnp.sum(w_sel[..., None] * rgb, axis=-2)        # [N, 3]
+
+    acc = jnp.sum(weight, -1)
+    nerv_vis = transmittance[..., 0]
+    nerfactor_vis = 1.0 - acc
+    return nerv_vis, nerfactor_vis, indirect
+
+
+def compute_transmittance(
+    cfg: F.FieldConfig,
+    params: Dict,
+    scene: Dict,
+    surf_pts: jax.Array,
+    light_in_dir: jax.Array,
+    *,
+    n_sample: int = 96,
+    vis_near: float = 0.05,
+    vis_far: float = 1.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Visibility only (relight_utils.py:657-705), used at relighting eval."""
+    aabb = scene["aabb"]
+    xyz, z_vals, valid = sample_ray_equally(
+        surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
+    dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
+    alphas = F.sample_alpha_mask(scene, xyz)
+    valid = valid & (alphas > 0)
+    coords = F.normalize_coord(aabb, xyz)
+    sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
+    _, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
+    return transmittance[..., 0], 1.0 - jnp.sum(weight, -1)
+
+
+def secondary_shading_tiled(
+    cfg: F.FieldConfig,
+    params: Dict,
+    scene: Dict,
+    surf_pts: jax.Array,      # [P, 3]
+    surf2light: jax.Array,    # [P, L, 3]
+    light_idx: jax.Array,     # [P] int32
+    pair_mask: jax.Array,     # [P, L] bool (cosine mask)
+    *,
+    n_sample: int,
+    vis_near: float,
+    vis_far: float,
+    tile: int = 16384,
+    app_cap: int = 16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Visibility + indirect light for every (surface point, light dir) pair.
+
+    Equivalent to compute_secondary_shading_effects (relight_utils.py:344-399)
+    but dense over the pair grid with masking, scanned in fixed tiles.
+    Returns (visibility [P, L, 1], indirect [P, L, 3]); everything is
+    stop_gradient'ed (the reference runs under torch.no_grad).
+    """
+    P, L, _ = surf2light.shape
+    pts = jnp.broadcast_to(surf_pts[:, None, :], (P, L, 3)).reshape(-1, 3)
+    dirs = surf2light.reshape(-1, 3)
+    lidx = jnp.broadcast_to(light_idx[:, None], (P, L)).reshape(-1)
+    mask = pair_mask.reshape(-1)
+
+    total = P * L
+    n_tiles = -(-total // tile)
+    pad = n_tiles * tile - total
+    if pad:
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        lidx = jnp.pad(lidx, (0, pad))
+        mask = jnp.pad(mask, (0, pad))
+
+    pts = pts.reshape(n_tiles, tile, 3)
+    dirs = dirs.reshape(n_tiles, tile, 3)
+    lidx = lidx.reshape(n_tiles, tile)
+    mask = mask.reshape(n_tiles, tile)
+
+    def one_tile(args):
+        p, d, li, m = args
+        nerv, _, ind = compute_radiance(
+            cfg, params, scene, p, d, li,
+            n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
+            app_cap=app_cap)
+        mf = m.astype(nerv.dtype)
+        return nerv * mf, ind * mf[..., None]
+
+    vis, ind = jax.lax.map(one_tile, (pts, dirs, lidx, mask))
+    vis = vis.reshape(-1)[:total].reshape(P, L, 1)
+    ind = ind.reshape(-1, 3)[:total].reshape(P, L, 3)
+    return jax.lax.stop_gradient(vis), jax.lax.stop_gradient(ind)

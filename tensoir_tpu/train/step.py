@@ -1,0 +1,151 @@
+"""Jitted training step: render -> losses -> grads -> Adam update.
+
+Loss assembly matches train_tensoIR.py:262-312; the step index is a traced
+argument so one compiled step function serves an entire training phase
+(recompiles only at the coarse-to-fine lifecycle events, SURVEY.md §3.4).
+
+Multi-chip: jit with the ray batch sharded over the mesh 'data' axis and
+params/scene replicated. The loss is a mean over the global batch, so XLA's
+SPMD partitioner emits the gradient psum over ICI automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tensoir_tpu.models import field as F
+from tensoir_tpu.render.train_render import render_train_batch
+from tensoir_tpu.train import losses as L
+
+
+@dataclass(frozen=True)
+class LossWeights:
+    """Static loss configuration for one training phase
+    (weights from opt.py / config files; schedule train_tensoIR.py:287-312)."""
+    ortho: float = 0.0
+    l1: float = 0.0
+    tv_density: float = 0.0
+    tv_app: float = 0.0
+    rgb_brdf: float = 0.1
+    normals_diff: float = 0.0002
+    normals_ori: float = 0.001
+    albedo_sm: float = 0.0002
+    rough_sm: float = 0.0002
+    normals_enhance_ratio: float = 1.0
+    brdf_enhance_ratio: float = 1.0
+    n_iters: int = 80000
+    relight_start: int = 10000
+    lr_factor: float = 1.0  # per-step TV decay (train_tensoIR.py:277,282)
+
+
+@dataclass(frozen=True)
+class StepStatic:
+    """Static knobs of the jitted step."""
+    n_samples: int
+    is_relight: bool
+    white_bg: bool
+    sample_method: str = "stratified_sampling"
+    app_cap: int = 32
+    relight_ray_cap: int = 1024
+    second_n_sample: int = 96
+    second_near: float = 0.05
+    second_far: float = 1.5
+    secondary_tile: int = 16384
+
+
+def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
+                 step, st: StepStatic, w: LossWeights):
+    ret = render_train_batch(
+        cfg, params, scene, batch["rays"], batch["light_idx"],
+        n_samples=st.n_samples, key=key, is_train=True,
+        is_relight=st.is_relight, white_bg=st.white_bg,
+        sample_method=st.sample_method, app_cap=st.app_cap,
+        relight_ray_cap=st.relight_ray_cap,
+        second_n_sample=st.second_n_sample, second_near=st.second_near,
+        second_far=st.second_far, secondary_tile=st.secondary_tile,
+        normal_gt=batch.get("normal_gt"))
+
+    rgb_gt = batch["rgbs"]
+    loss_rgb = jnp.mean((ret["rgb_map"] - rgb_gt) ** 2)
+    total = loss_rgb
+    metrics = {"loss_rgb": loss_rgb}
+
+    stepf = step.astype(jnp.float32)
+    if w.ortho > 0:
+        lo = L.ortho_loss(params)
+        total = total + w.ortho * lo
+        metrics["loss_ortho"] = lo
+    if w.l1 > 0:
+        l1 = L.density_l1(params)
+        total = total + w.l1 * l1
+        metrics["loss_l1"] = l1
+    # TV weights decay multiplicatively every step they are applied
+    # (train_tensoIR.py:276-285)
+    if w.tv_density > 0:
+        tvw = w.tv_density * (w.lr_factor ** (stepf + 1.0))
+        tv = L.tv_loss_density(params) * tvw
+        total = total + tv
+        metrics["loss_tv_density"] = tv
+    if w.tv_app > 0:
+        tvw = w.tv_app * (w.lr_factor ** (stepf + 1.0))
+        tv = L.tv_loss_app(params) * tvw
+        total = total + tv
+        metrics["loss_tv_app"] = tv
+
+    if st.is_relight:
+        loss_brdf = jnp.mean((ret["rgb_with_brdf_map"] - rgb_gt) ** 2)
+        total = total + loss_brdf * w.rgb_brdf
+        metrics["loss_rgb_brdf"] = loss_brdf
+
+        # exponential enhancement (train_tensoIR.py:291-292)
+        prog = (stepf - w.relight_start) / max(w.n_iters - w.relight_start, 1)
+        nw = w.normals_enhance_ratio ** prog
+        bw = w.brdf_enhance_ratio ** prog
+        if w.normals_diff > 0:
+            nd = nw * w.normals_diff * jnp.mean(ret["normals_diff_map"])
+            total = total + nd
+            metrics["loss_normals_diff"] = nd
+        if w.normals_ori > 0:
+            no = nw * w.normals_ori * jnp.mean(
+                ret["normals_orientation_loss_map"])
+            total = total + no
+            metrics["loss_normals_ori"] = no
+        if w.rough_sm > 0:
+            rs = bw * w.rough_sm * ret["roughness_smoothness_loss"]
+            total = total + rs
+            metrics["loss_rough_sm"] = rs
+        if w.albedo_sm > 0:
+            asm = bw * w.albedo_sm * ret["albedo_smoothness_loss"]
+            total = total + asm
+            metrics["loss_albedo_sm"] = asm
+
+    metrics["total_loss"] = total
+    metrics["psnr"] = -10.0 * jnp.log(loss_rgb) / jnp.log(10.0)
+    return total, metrics
+
+
+def make_train_step(cfg: F.FieldConfig, optimizer, st: StepStatic,
+                    w: LossWeights, donate: bool = True):
+    """Build the jitted train step.
+
+    Signature: step_fn(params, opt_state, scene, batch, key, step)
+      -> (params, opt_state, metrics)
+    """
+
+    def loss_wrapper(params, scene, batch, key, step):
+        return compute_loss(cfg, params, scene, batch, key, step, st, w)
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step_fn(params, opt_state, scene, batch, key, step):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_wrapper, has_aux=True)(params, scene, batch, key, step)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics
+
+    return step_fn

@@ -1,0 +1,89 @@
+"""End-to-end smoke: radiance-only training on the synthetic sphere scene.
+
+Mirrors SURVEY.md §7.2 M1 — one model training end-to-end (the PR1-style
+radiance-only slice), CPU-runnable.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tensoir_tpu.models.field import FieldConfig, init_field_params
+from tensoir_tpu.render.primary import render_rays
+from tensoir_tpu.train.optim import make_optimizer, decay_factor
+from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
+from tensoir_tpu.data.synthetic import SyntheticSphereDataset
+
+
+def _make_model(grid=48, step_ratio=1.0):
+    cfg = FieldConfig(
+        density_n_comp=(8, 8, 8),
+        app_n_comp=(8, 8, 8),
+        app_dim=12,
+        shading_mode="MLP_Fea",
+        normals_kind="derived_plus_predicted",
+        step_ratio=step_ratio,
+        feature_c=64,
+    )
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    params, scene = init_field_params(
+        jax.random.PRNGKey(0), cfg, (grid, grid, grid), aabb)
+    return cfg, params, scene
+
+
+def test_render_rays_shapes():
+    cfg, params, scene = _make_model()
+    rays = jnp.concatenate(
+        [jnp.zeros((16, 3)),
+         jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1))], -1)
+    # origins outside bbox pointing through it
+    rays = rays.at[:, 2].set(-4.0)
+    out = render_rays(cfg, params, scene, rays, jnp.zeros(16, jnp.int32),
+                      n_samples=32, key=None, is_train=False,
+                      is_relight=False, white_bg=True, app_cap=8)
+    assert out["rgb_map"].shape == (16, 3)
+    assert out["depth_map"].shape == (16,)
+    assert np.isfinite(np.asarray(out["rgb_map"])).all()
+
+
+def test_radiance_training_improves_psnr():
+    ds = SyntheticSphereDataset(split="train", n_views=6, img_wh=(48, 48))
+    cfg, params, scene = _make_model(grid=40, step_ratio=1.2)
+
+    lr_factor = decay_factor(0.1, 600, 600)
+    optimizer = make_optimizer(params, 0.02, 1e-3, lr_factor)
+    opt_state = optimizer.init(params)
+
+    st = StepStatic(n_samples=64, is_relight=False, white_bg=True,
+                    app_cap=16)
+    w = LossWeights(ortho=0.0, l1=8e-5, tv_density=0.0, tv_app=0.0,
+                    lr_factor=lr_factor, n_iters=600, relight_start=0)
+    step_fn = make_train_step(cfg, optimizer, st, w)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    n = ds.all_rays.shape[0]
+    B = 1024
+
+    first_psnr, last_psnr = None, None
+    for it in range(150):
+        idx = rng.integers(0, n, B)
+        batch = {
+            "rays": jnp.asarray(ds.all_rays[idx]),
+            "rgbs": jnp.asarray(ds.all_rgbs[idx]),
+            "light_idx": jnp.asarray(ds.all_light_idx[idx, 0]),
+        }
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, scene, batch, sub, jnp.asarray(it))
+        p = float(metrics["psnr"])
+        if it == 0:
+            first_psnr = p
+        last_psnr = p
+
+    assert np.isfinite(last_psnr)
+    # the white background alone gives ~8-10 dB; learning the sphere should
+    # push well past it
+    assert last_psnr > first_psnr + 4.0, (first_psnr, last_psnr)
+    assert last_psnr > 14.0, (first_psnr, last_psnr)
