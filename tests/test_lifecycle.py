@@ -1,0 +1,122 @@
+"""Lifecycle transforms: alpha mask, shrink, upsample, filtering, checkpoint."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as TF
+
+from tensoir_tpu.models.field import (
+    FieldConfig, init_field_params, grid_size_of, density,
+)
+from tensoir_tpu.models import lifecycle as LC
+from tensoir_tpu.models.field import sample_alpha_mask
+from tensoir_tpu.utils.ckpt import save_checkpoint, load_checkpoint
+
+
+def _model(grid=(24, 28, 32)):
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4),
+                      app_dim=6, feature_c=32, num_sgs=16,
+                      envmap_h=4, envmap_w=8)
+    aabb = np.array([[-1.5, -1.2, -1.0], [1.5, 1.2, 1.0]], np.float32)
+    params, scene = init_field_params(jax.random.PRNGKey(0), cfg, grid, aabb)
+    return cfg, params, scene
+
+
+def test_n_to_reso_matches_reference():
+    aabb_t = torch.tensor([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    n_voxels = 128 ** 3
+    xyz_min, xyz_max = aabb_t
+    voxel_size = ((xyz_max - xyz_min).prod() / n_voxels).pow(1 / 3)
+    expected = ((xyz_max - xyz_min) / voxel_size).long().tolist()
+    got = LC.n_to_reso(n_voxels, np.asarray(aabb_t))
+    assert list(got) == expected
+
+
+def test_voxel_schedule():
+    sched = LC.voxel_schedule(128 ** 3, 300 ** 3, 4)
+    assert len(sched) == 4
+    assert sched[-1] == 300 ** 3
+    assert all(a < b for a, b in zip(sched, sched[1:]))
+
+
+def test_maxpool_matches_torch():
+    a = np.random.default_rng(0).random((6, 7, 8)).astype(np.float32)
+    expected = TF.max_pool3d(torch.from_numpy(a)[None, None], kernel_size=3,
+                             padding=1, stride=1)[0, 0].numpy()
+    got = LC._maxpool3(a)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_update_alpha_mask_and_shrink():
+    cfg, params, scene = _model()
+    # boost density so some alpha survives
+    params = dict(params)
+    for i in range(3):
+        params[f"density_plane_{i}"] = params[f"density_plane_{i}"] + 2.0
+        params[f"density_line_{i}"] = params[f"density_line_{i}"] + 2.0
+
+    scene2, new_aabb = LC.update_alpha_mask(cfg, params, scene, (16, 16, 16))
+    assert scene2["alpha_volume"].shape == (16, 16, 16)
+    assert float(scene2["has_alpha_mask"]) == 1.0
+    assert (new_aabb[1] >= new_aabb[0]).all()
+
+    # mask lookup now gates points outside the surviving region
+    vals = sample_alpha_mask(scene2, jnp.zeros((4, 3)))
+    assert np.isfinite(np.asarray(vals)).all()
+
+    old_grid = grid_size_of(params)
+    params2, scene3 = LC.shrink(cfg, params, scene2, new_aabb)
+    new_grid = grid_size_of(params2)
+    assert all(n <= o for n, o in zip(new_grid, old_grid))
+    aabb3 = np.asarray(scene3["aabb"])
+    assert (aabb3[1] >= aabb3[0]).all()
+
+    # field still evaluable after shrink
+    val = density(cfg, params2, jnp.zeros((5, 3)))
+    assert np.isfinite(np.asarray(val)).all()
+
+
+def test_upsample_preserves_field_approximately():
+    cfg, params, scene = _model(grid=(16, 16, 16))
+    pts = jnp.asarray(
+        np.random.default_rng(1).uniform(-0.8, 0.8, (50, 3)).astype(np.float32))
+    before = np.asarray(density(cfg, params, pts))
+    params2 = LC.upsample(params, (31, 31, 31))
+    assert grid_size_of(params2) == (31, 31, 31)
+    after = np.asarray(density(cfg, params2, pts))
+    # align_corners=True doubling (16->31) reproduces the grid exactly at
+    # original nodes; interpolated values stay close
+    np.testing.assert_allclose(after, before, atol=0.15, rtol=0.2)
+
+
+def test_filter_rays_bbox():
+    aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    rays = np.zeros((4, 6), np.float32)
+    rays[:, 2] = -5.0
+    rays[0, 3:] = [0, 0, 1]      # hits
+    rays[1, 3:] = [0, 0, -1]     # points away
+    rays[2, 3:] = [1, 0, 0.01]   # grazes past
+    rays[3, 3:] = [0.05, 0.05, 1]  # hits
+    mask = LC.filter_rays_bbox(rays, aabb)
+    assert mask[0] and mask[3]
+    assert not mask[2]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, params, scene = _model()
+    scene2, _ = LC.update_alpha_mask(cfg, params, scene, (8, 8, 8))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, cfg, params, scene2, extra={"iteration": 1234})
+    cfg2, params2, scene3, extra = load_checkpoint(path)
+    assert cfg2 == cfg
+    assert extra["iteration"] == 1234
+    np.testing.assert_allclose(np.asarray(params2["basis_mat"]),
+                               np.asarray(params["basis_mat"]))
+    np.testing.assert_allclose(np.asarray(scene3["aabb"]),
+                               np.asarray(scene2["aabb"]))
+    # binarized alpha volume round-trips exactly
+    np.testing.assert_allclose(
+        np.asarray(scene3["alpha_volume"]),
+        np.asarray(scene2["alpha_volume"] > 0.5, np.float32))
