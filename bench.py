@@ -1,0 +1,122 @@
+"""Benchmark: primary+visibility rays/s/chip, forward+backward.
+
+Measures the full TensoIR training step (primary march + BRDF/normals +
+secondary visibility/indirect marching + backward + Adam) on one chip, at a
+mid-training configuration comparable to the reference's armadillo
+single-light run after the first upsample (grid ~200^3, 4096-ray batches,
+512 incident light dirs, 96 secondary samples — configs/single_light/
+armadillo.txt + opt.py defaults).
+
+Counted rays per step = primary batch + secondary visibility rays
+(relight_ray_cap x envmap dirs), matching BASELINE.json's
+"primary+visibility rays/s/chip (fwd+bwd)".
+
+vs_baseline: the reference repo publishes no throughput (BASELINE.md). The
+denominator 1.5e6 rays/s is an estimate derived from the paper's reported
+single-GPU training time (~5h for 80k iters at batch 4096 with secondary
+shading on after iteration 10k) — see BASELINE.md; it is an estimate, not a
+measured number.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 1.5e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tensoir_tpu.models.field import FieldConfig, init_field_params
+    from tensoir_tpu.train.optim import make_optimizer
+    from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
+
+    platform = jax.devices()[0].platform
+
+    B = 4096
+    GRID = 200
+    N_SAMPLES = 700
+    RELIGHT_CAP = 1024
+    ENV_H, ENV_W = 16, 32
+    SECOND_N = 96
+    TILE = 32768
+
+    if platform == "cpu":  # CI / local smoke fallback
+        B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 32
+        ENV_H, ENV_W, SECOND_N, TILE = 4, 8, 16, 1024
+
+    cfg = FieldConfig(
+        density_n_comp=(16, 16, 16),
+        app_n_comp=(48, 48, 48),
+        app_dim=27,
+        shading_mode="MLP_Fea",
+        normals_kind="derived_plus_predicted",
+        light_kind="sg",
+        num_sgs=128,
+        envmap_h=ENV_H,
+        envmap_w=ENV_W,
+        feature_c=128,
+        step_ratio=0.5,
+    )
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    params, scene = init_field_params(
+        jax.random.PRNGKey(0), cfg, (GRID, GRID, GRID), aabb)
+    # seed some density so the workload resembles mid-training occupancy
+    for i in range(3):
+        params[f"density_plane_{i}"] = params[f"density_plane_{i}"] + 0.5
+
+    optimizer = make_optimizer(params, 0.02, 1e-3, 0.999971)
+    opt_state = optimizer.init(params)
+
+    st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
+                    app_cap=32, relight_ray_cap=RELIGHT_CAP,
+                    second_n_sample=SECOND_N, secondary_tile=TILE)
+    w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
+                    lr_factor=0.999971, n_iters=80000, relight_start=10000)
+    step_fn = make_train_step(cfg, optimizer, st, w, donate=False)
+
+    rng = np.random.default_rng(0)
+    o = np.zeros((B, 3), np.float32)
+    o[:, 2] = -4.0
+    d = rng.normal(size=(B, 3)).astype(np.float32) * 0.15
+    d[:, 2] = 1.0
+    batch = {
+        "rays": jnp.asarray(np.concatenate([o, d], -1)),
+        "rgbs": jnp.full((B, 3), 0.5, jnp.float32),
+        "light_idx": jnp.zeros((B,), jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    p, s = params, opt_state
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        p, s, m = step_fn(p, s, scene, batch, sub, jnp.asarray(i))
+    jax.block_until_ready(p)
+
+    n_iters = 10 if platform != "cpu" else 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, sub = jax.random.split(key)
+        p, s, m = step_fn(p, s, scene, batch, sub, jnp.asarray(i + 2))
+    jax.block_until_ready(p)
+    dt = time.perf_counter() - t0
+
+    env_dirs = ENV_H * ENV_W
+    rays_per_step = B + RELIGHT_CAP * env_dirs
+    rays_per_s = rays_per_step * n_iters / dt
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "primary+visibility rays/s/chip (fwd+bwd)",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Full training driver: the `reconstruction()` equivalent
+(train_tensoIR.py:110-424) with the coarse-to-fine phase schedule.
+
+One parameterized loop replaces the reference's four near-identical driver
+scripts (SURVEY.md §2.7); the setting (single-light / rotated multi-light /
+general multi-light / simple) is entirely in the config.
+
+Phase schedule (train_tensoIR.py:385-422):
+  * at update_AlphaMask_list[0]: updateAlphaMask -> shrink -> L1 switch ->
+    relight branch ON -> TV weights zeroed -> (usually coincides with the
+    first upsample).
+  * at update_AlphaMask_list[1]: re-filter rays with the shrunk bbox.
+  * later update_AlphaMask_list entries: mask refresh only.
+  * at each upsamp_list entry: factor upsample + fresh Adam + LR reset.
+Each event changes shapes -> the jitted step recompiles (expected; ~6 events
+over a run).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensoir_tpu.config import TensoIRConfig
+from tensoir_tpu.models.field import FieldConfig, init_field_params, grid_size_of
+from tensoir_tpu.models import lifecycle as LC
+from tensoir_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from tensoir_tpu.train.optim import make_optimizer, decay_factor
+from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
+from tensoir_tpu.utils.ckpt import save_checkpoint
+
+
+class SimpleSampler:
+    """Random-permutation batcher (train_tensoIR.py:36-48)."""
+
+    def __init__(self, total: int, batch: int, seed: int = 0):
+        self.total = total
+        self.batch = batch
+        self.curr = total
+        self.ids = None
+        self.rng = np.random.default_rng(seed)
+
+    def nextids(self) -> np.ndarray:
+        self.curr += self.batch
+        if self.curr + self.batch > self.total:
+            self.ids = self.rng.permutation(self.total)
+            self.curr = 0
+        return self.ids[self.curr:self.curr + self.batch]
+
+
+def field_config_from(cfg: TensoIRConfig, near_far) -> FieldConfig:
+    per_light_sg = bool(cfg.light_name_list)
+    rotations = tuple(int(r) for r in cfg.light_rotation)
+    return FieldConfig(
+        density_n_comp=tuple(cfg.n_lamb_sigma),
+        app_n_comp=tuple(cfg.n_lamb_sh),
+        app_dim=cfg.data_dim_color,
+        shading_mode=cfg.shadingMode,
+        normals_kind=cfg.normals_kind,
+        light_kind=cfg.light_kind,
+        per_light_sg=per_light_sg,
+        light_num=cfg.light_num,
+        light_rotations=rotations if not per_light_sg else
+        tuple(0 for _ in range(cfg.light_num)),
+        num_sgs=cfg.numLgtSGs,
+        envmap_h=cfg.envmap_h,
+        envmap_w=cfg.envmap_w,
+        fea2dense=cfg.fea2denseAct,
+        density_shift=cfg.density_shift,
+        distance_scale=cfg.distance_scale,
+        raymarch_weight_thres=cfg.rm_weight_mask_thre,
+        alpha_mask_thres=cfg.alpha_mask_thre,
+        step_ratio=cfg.step_ratio,
+        pos_pe=cfg.pos_pe, view_pe=cfg.view_pe, fea_pe=cfg.fea_pe,
+        feature_c=cfg.featureC,
+        fixed_fresnel=cfg.fixed_fresnel,
+        near_far=tuple(near_far),
+        compute_dtype=cfg.compute_dtype,
+    )
+
+
+@dataclass
+class TrainResult:
+    params: Dict
+    scene: Dict
+    fcfg: FieldConfig
+    metrics_history: list
+    n_samples: int
+
+
+def reconstruction(
+    cfg: TensoIRConfig,
+    dataset,
+    log_dir: Optional[str] = None,
+    eval_fn: Optional[Callable] = None,
+    max_iters: Optional[int] = None,
+    progress_cb: Optional[Callable[[int, Dict], None]] = None,
+) -> TrainResult:
+    """Train a TensoIR field. `dataset` must satisfy the data contract
+    (all_rays/all_rgbs/all_light_idx, scene_bbox, near_far, white_bg)."""
+    n_iters = max_iters or cfg.n_iters
+    aabb = np.asarray(dataset.scene_bbox, np.float32).reshape(2, 3)
+    white_bg = bool(dataset.white_bg)
+    fcfg = field_config_from(cfg, dataset.near_far)
+
+    reso_cur = LC.n_to_reso(cfg.N_voxel_init, aabb)
+    n_samples = min(cfg.nSamples, LC.cal_n_samples(reso_cur, cfg.step_ratio))
+
+    mesh = make_mesh(cfg.mesh_data) if cfg.mesh_data > 1 else None
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init = jax.random.split(key)
+    gt_envmap = getattr(dataset, "lights_probes", None)
+    if gt_envmap is not None and not isinstance(gt_envmap, np.ndarray):
+        gt_envmap = None
+    params, scene = init_field_params(k_init, fcfg, reso_cur, aabb,
+                                      gt_envmap=gt_envmap)
+
+    lr_factor = decay_factor(cfg.lr_decay_target_ratio,
+                             cfg.lr_decay_iters, n_iters)
+
+    # ray prefilter (train_tensoIR.py:226-231)
+    all_rays = np.asarray(dataset.all_rays, np.float32)
+    all_rgbs = np.asarray(dataset.all_rgbs, np.float32)
+    all_lidx = np.asarray(dataset.all_light_idx, np.int32).reshape(-1)
+    keep = LC.filter_rays_bbox(all_rays, aabb)
+    rays_f, rgbs_f, lidx_f = all_rays[keep], all_rgbs[keep], all_lidx[keep]
+    sampler = SimpleSampler(rays_f.shape[0], cfg.batch_size, seed=cfg.seed)
+
+    voxel_list = LC.voxel_schedule(cfg.N_voxel_init, cfg.N_voxel_final,
+                                   len(cfg.upsamp_list))
+    upsamp_left = list(cfg.upsamp_list)
+    update_am_list = list(cfg.update_AlphaMask_list)
+
+    relight = False
+    l1_weight = cfg.L1_weight_inital
+    tv_density, tv_app = cfg.TV_weight_density, cfg.TV_weight_app
+    relight_start = (update_am_list[0] if update_am_list else 0)
+
+    def build_step(lr_scale: float):
+        optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
+                                   cfg.lr_basis * lr_scale, lr_factor)
+        opt_state = optimizer.init(params)
+        st = StepStatic(
+            n_samples=n_samples, is_relight=relight, white_bg=white_bg,
+            sample_method=cfg.light_sample_train,
+            app_cap=cfg.app_cap_per_ray,
+            relight_ray_cap=cfg.relight_ray_cap,
+            second_n_sample=cfg.second_nSample,
+            second_near=cfg.second_near, second_far=cfg.second_far,
+            secondary_tile=cfg.secondary_tile)
+        w = LossWeights(
+            ortho=cfg.Ortho_weight, l1=l1_weight,
+            tv_density=tv_density, tv_app=tv_app,
+            rgb_brdf=cfg.rgb_brdf_weight,
+            normals_diff=cfg.normals_diff_weight,
+            normals_ori=cfg.normals_orientation_weight,
+            albedo_sm=cfg.albedo_smoothness_loss_weight,
+            rough_sm=cfg.roughness_smoothness_loss_weight,
+            normals_enhance_ratio=cfg.normals_loss_enhance_ratio,
+            brdf_enhance_ratio=cfg.BRDF_loss_enhance_ratio,
+            n_iters=n_iters, relight_start=relight_start,
+            lr_factor=lr_factor)
+        return make_train_step(fcfg, optimizer, st, w, mesh=mesh), opt_state
+
+    step_fn, opt_state = build_step(1.0)
+    if mesh is not None:
+        params = replicate(mesh, params)
+        scene = replicate(mesh, scene)
+        opt_state = replicate(mesh, opt_state)
+
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        metrics_path = os.path.join(log_dir, "metrics.jsonl")
+        metrics_file = open(metrics_path, "a")
+    else:
+        metrics_file = None
+
+    history = []
+    t_start = time.time()
+    for it in range(n_iters):
+        ids = sampler.nextids()
+        batch = {
+            "rays": rays_f[ids],
+            "rgbs": rgbs_f[ids],
+            "light_idx": lidx_f[ids],
+        }
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, scene, batch, sub, jnp.asarray(it))
+
+        if it % cfg.progress_refresh_rate == 0 or it == n_iters - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["iteration"] = it
+            m["elapsed_s"] = time.time() - t_start
+            history.append(m)
+            if metrics_file:
+                metrics_file.write(json.dumps(m) + "\n")
+                metrics_file.flush()
+            if progress_cb:
+                progress_cb(it, m)
+
+        # ---- phase schedule ----
+        if it in update_am_list:
+            reso_mask = tuple(min(r, 256) for r in reso_cur)
+            scene_h = {k: np.asarray(v) for k, v in scene.items()}
+            scene_h = {k: jnp.asarray(v) for k, v in scene_h.items()}
+            params_h = jax.tree.map(jnp.asarray, params)
+            new_scene, new_aabb = LC.update_alpha_mask(
+                fcfg, params_h, scene_h, reso_mask)
+            scene = new_scene
+            if it == update_am_list[0]:
+                params, scene = LC.shrink(fcfg, params_h, scene, new_aabb)
+                l1_weight = cfg.L1_weight_rest
+                relight = True
+                tv_density, tv_app = 0.0, 0.0
+                reso_cur = grid_size_of(params)
+                n_samples = min(cfg.nSamples,
+                                LC.cal_n_samples(reso_cur, cfg.step_ratio))
+                step_fn, opt_state = build_step(1.0)
+                if mesh is not None:
+                    params = replicate(mesh, params)
+                    scene = replicate(mesh, scene)
+                    opt_state = replicate(mesh, opt_state)
+            if len(update_am_list) > 1 and it == update_am_list[1]:
+                keep = LC.filter_rays_bbox(all_rays, np.asarray(scene["aabb"]))
+                rays_f, rgbs_f, lidx_f = (all_rays[keep], all_rgbs[keep],
+                                          all_lidx[keep])
+                sampler = SimpleSampler(rays_f.shape[0], cfg.batch_size,
+                                        seed=cfg.seed + it)
+
+        if it in upsamp_left and voxel_list:
+            n_voxels = voxel_list.pop(0)
+            reso_cur = LC.n_to_reso(n_voxels, np.asarray(scene["aabb"]))
+            n_samples = min(cfg.nSamples,
+                            LC.cal_n_samples(reso_cur, cfg.step_ratio))
+            params = LC.upsample(jax.tree.map(jnp.asarray, params), reso_cur)
+            lr_scale = 1.0 if cfg.lr_upsample_reset else (
+                cfg.lr_decay_target_ratio ** (it / n_iters))
+            step_fn, opt_state = build_step(lr_scale)
+            if mesh is not None:
+                params = replicate(mesh, params)
+                scene = replicate(mesh, scene)
+                opt_state = replicate(mesh, opt_state)
+
+        if eval_fn is not None and relight and cfg.vis_every > 0 \
+                and it % cfg.vis_every == cfg.vis_every - 1:
+            eval_fn(fcfg, params, scene, it, n_samples)
+
+        if log_dir and cfg.save_iters > 0 and it > 0 \
+                and it % cfg.save_iters == 0:
+            save_checkpoint(os.path.join(log_dir, f"ckpt_{it}.npz"),
+                            fcfg, jax.tree.map(np.asarray, params),
+                            jax.tree.map(np.asarray, scene),
+                            extra={"iteration": it})
+
+    if log_dir:
+        save_checkpoint(os.path.join(log_dir, "ckpt_final.npz"),
+                        fcfg, jax.tree.map(np.asarray, params),
+                        jax.tree.map(np.asarray, scene),
+                        extra={"iteration": n_iters})
+        if metrics_file:
+            metrics_file.close()
+
+    return TrainResult(params=params, scene=scene, fcfg=fcfg,
+                       metrics_history=history, n_samples=n_samples)

@@ -130,22 +130,46 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
 
 
 def make_train_step(cfg: F.FieldConfig, optimizer, st: StepStatic,
-                    w: LossWeights, donate: bool = True):
+                    w: LossWeights, mesh=None, donate: bool = True):
     """Build the jitted train step.
 
     Signature: step_fn(params, opt_state, scene, batch, key, step)
       -> (params, opt_state, metrics)
+
+    With `mesh`, the step runs under shard_map over the 'data' axis: the ray
+    batch (and therefore every secondary visibility batch derived from it) is
+    sharded, params/scene/optimizer state are replicated, and gradients are
+    all-reduced with a pmean over ICI before the (identical, replicated)
+    Adam update — the TPU-native replacement for DDP.
     """
 
     def loss_wrapper(params, scene, batch, key, step):
         return compute_loss(cfg, params, scene, batch, key, step, st, w)
 
-    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def step_fn(params, opt_state, scene, batch, key, step):
+    def inner(params, opt_state, scene, batch, key, step):
+        if mesh is not None:
+            # decorrelate per-shard jitter/light-sample randomness
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         (_, metrics), grads = jax.value_and_grad(
             loss_wrapper, has_aux=True)(params, scene, batch, key, step)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, metrics
 
-    return step_fn
+    donate_args = (0, 1) if donate else ()
+    if mesh is None:
+        return partial(jax.jit, donate_argnums=donate_args)(inner)
+
+    from jax.sharding import PartitionSpec as P
+
+    mapped = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return partial(jax.jit, donate_argnums=donate_args)(mapped)

@@ -1,0 +1,154 @@
+"""Dataset loader tests against generated on-disk fixtures."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tensoir_tpu.data.hdr import read_hdr, write_hdr
+from tensoir_tpu.data import get_dataset
+
+
+def _write_rgba(path, h=16, w=16, seed=0):
+    rng = np.random.default_rng(seed)
+    arr = (rng.random((h, w, 4)) * 255).astype(np.uint8)
+    arr[..., 3] = (arr[..., 3] > 64) * 255  # binary-ish alpha
+    Image.fromarray(arr, "RGBA").save(path)
+
+
+def _cam_transform(ang, r=4.0):
+    from tensoir_tpu.data.ray_utils import look_at
+    c2w = look_at([r * np.cos(ang), r * np.sin(ang), 1.0])
+    m = np.concatenate([c2w, [[0, 0, 0, 1]]], 0)
+    return ",".join(str(float(x)) for x in m.reshape(-1))
+
+
+def _make_tensoir_fixture(root, n_views=2, rotations=("000", "120"),
+                          light_name="sunset", general_names=None):
+    os.makedirs(root, exist_ok=True)
+    for split in ("train", "test"):
+        for k in range(n_views):
+            d = os.path.join(root, f"{split}_{k:03d}")
+            os.makedirs(d, exist_ok=True)
+            meta = {
+                "imw": 16, "imh": 16, "cam_angle_x": 0.69,
+                "cam_transform_mat": _cam_transform(k + (0.5 if split == "test" else 0)),
+            }
+            with open(os.path.join(d, "metadata.json"), "w") as f:
+                json.dump(meta, f)
+            if general_names:
+                for name in general_names:
+                    _write_rgba(os.path.join(d, f"rgba_{name}.png"), seed=k)
+            else:
+                for rot in rotations:
+                    _write_rgba(os.path.join(d, f"rgba_{light_name}_{rot}.png"),
+                                seed=k)
+            _write_rgba(os.path.join(d, "albedo.png"), seed=k + 10)
+            _write_rgba(os.path.join(d, "normal.png"), seed=k + 20)
+
+
+def test_hdr_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = (rng.random((8, 16, 3)) * 10).astype(np.float32)
+    path = os.path.join(tmp_path, "test.hdr")
+    write_hdr(path, img)
+    back = read_hdr(path)
+    assert back.shape == (8, 16, 3)
+    # RGBE shares one exponent across channels: error bound is ~1 ULP of the
+    # per-pixel max channel
+    ulp = img.max(-1, keepdims=True) / 128.0
+    assert (np.abs(back - img) <= ulp + 1e-3).all()
+
+
+def test_rotated_lights_loader(tmp_path):
+    root = os.path.join(tmp_path, "armadillo")
+    hdr_dir = os.path.join(tmp_path, "hdr")
+    os.makedirs(hdr_dir)
+    write_hdr(os.path.join(hdr_dir, "sunset.hdr"),
+              np.ones((8, 16, 3), np.float32))
+    _make_tensoir_fixture(root, rotations=("000", "120"))
+
+    cls = get_dataset("tensoIR_unknown_rotated_lights")
+    ds = cls(root, hdr_dir, split="train", light_rotation=["000", "120"],
+             light_name="sunset")
+    n = 2 * 2 * 16 * 16  # views * rotations * pixels
+    assert ds.all_rays.shape == (n, 6)
+    assert ds.all_rgbs.shape == (n, 3)
+    assert ds.all_light_idx.shape == (n, 1)
+    assert set(np.unique(ds.all_light_idx)) == {0, 1}
+    assert ds.lights_probes is not None and ds.lights_probes.shape == (8, 16, 3)
+    # ray dirs normalized (tensoIR_rotation_setting.py:110)
+    norms = np.linalg.norm(ds.all_rays[:, 3:6], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    ds_test = cls(root, hdr_dir, split="test", light_rotation=["000", "120"],
+                  light_name="sunset")
+    item = ds_test[0]
+    assert item["rgbs"].shape == (2, 256, 3)
+    assert item["normals"].shape == (256, 3)
+    assert item["albedo"].shape == (256, 3)
+
+
+def test_general_multi_lights_loader(tmp_path):
+    root = os.path.join(tmp_path, "ficus")
+    names = ("sunset", "snow")
+    _make_tensoir_fixture(root, general_names=names)
+    cls = get_dataset("tensoIR_unknown_general_multi_lights")
+    ds = cls(root, None, split="train", light_name_list=list(names))
+    assert ds.light_num == 2
+    assert ds.all_rays.shape[0] == 2 * 2 * 256
+
+
+def test_relighting_test_loader(tmp_path):
+    root = os.path.join(tmp_path, "scene")
+    names = ("bridge", "city")
+    _make_tensoir_fixture(root, general_names=names)
+    cls = get_dataset("tensoIR_relighting_test")
+    ds = cls(root, None, split="test", light_names=list(names))
+    item = ds[0]
+    assert item["rgbs"].shape == (2, 256, 3)
+    assert item["normals"].shape == (256, 3)
+
+
+def test_blender_loader(tmp_path):
+    root = os.path.join(tmp_path, "lego")
+    os.makedirs(root)
+    frames = []
+    for k in range(2):
+        from tensoir_tpu.data.ray_utils import look_at
+        c2w = look_at([4 * np.cos(k), 4 * np.sin(k), 1.0])
+        m = np.concatenate([c2w, [[0, 0, 0, 1]]], 0).tolist()
+        frames.append({"file_path": f"./r_{k}", "transform_matrix": m})
+        _write_rgba(os.path.join(root, f"r_{k}.png"), h=800 // 50, w=800 // 50,
+                    seed=k)
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.69, "frames": frames}, f)
+
+    cls = get_dataset("blender")
+    ds = cls(root, split="train", downsample=50.0)
+    assert ds.all_rays.shape == (2 * 16 * 16, 6)
+    assert ds.all_rgbs.shape == (2 * 16 * 16, 3)
+
+
+def test_simple_loader(tmp_path):
+    root = os.path.join(tmp_path, "own")
+    os.makedirs(root)
+    frames = {}
+    for k in range(3):
+        from tensoir_tpu.data.ray_utils import look_at
+        c2w = look_at([4 * np.cos(k), 4 * np.sin(k), 1.0])
+        m = np.concatenate([c2w, [[0, 0, 0, 1]]], 0).tolist()
+        frames[str(k)] = {"file_path": f"img_{k}.png",
+                          "transform_matrix": m, "light_idx": k % 2}
+        _write_rgba(os.path.join(root, f"img_{k}.png"), seed=k)
+    meta = {"camera_angle_x": 0.69, "frames": frames}
+    for split in ("train", "test"):
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+
+    cls = get_dataset("tensoIR_simple")
+    ds = cls(root, split="train", light_rotation=["000", "120"])
+    # all 3 frames kept (light_idx 0/1 < light_num 2)
+    assert ds.all_rays.shape[0] == 3 * 256
+    assert set(np.unique(ds.all_light_idx)) == {0, 1}
