@@ -1,0 +1,202 @@
+"""Quantitative relighting benchmark (scripts/relight_importance.py:31-339).
+
+Per view: G-buffer forward -> for each held-out env map: 512 importance
+light samples per surface point, hemisphere mask, visibility via
+transmittance marching, MC estimator mean(brdf * vis * L * cos / pdf), sRGB,
+env-map background composite where acc <= 0.9, per-light PSNR/SSIM(/LPIPS).
+
+TPU-static: rays are processed in fixed chunks; the acc-mask selection is
+dense (masked) instead of boolean-compacted.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensoir_tpu.models import field as F
+from tensoir_tpu.models.env_light import EnvironmentLight
+from tensoir_tpu.ops.brdf import ggx_specular
+from tensoir_tpu.ops.color import linear2srgb
+from tensoir_tpu.ops.rays import safe_l2_normalize
+from tensoir_tpu.render.primary import render_rays
+from tensoir_tpu.render.secondary import compute_transmittance
+from tensoir_tpu.utils import metrics as M
+
+
+def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
+                          light_name: str, *, n_samples: int,
+                          n_light_samples: int = 512,
+                          second_n_sample: int = 96,
+                          second_near: float = 0.05, second_far: float = 1.5,
+                          acc_mask_threshold: float = 0.5,
+                          vis_tile: int = 16384,
+                          vis_equation: str = "nerv"):
+    """Jitted per-chunk relight under one held-out light.
+
+    Returns fn(params, scene, rays, key, rescale3) ->
+      (relight_without_bg [B,3], relight_with_bg [B,3], acc [B],
+       albedo [B,3], roughness [B,1], normal [B,3], depth [B])."""
+
+    env_dirs = env.dirs[light_name]
+    env_rgb_flat = env.rgbs[light_name]
+
+    @jax.jit
+    def chunk_fn(params, scene, rays, key, rescale3):
+        B = rays.shape[0]
+        out = render_rays(cfg, params, scene, rays,
+                          jnp.zeros((B,), jnp.int32),
+                          n_samples=n_samples, key=None, is_train=False,
+                          is_relight=True, white_bg=True, app_cap=64)
+        acc = out["acc_map"]
+        acc_mask = acc > acc_mask_threshold
+        rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+        surface_xyz = rays_o + out["depth_map"][:, None] * rays_d
+        normal = out["normal_map"]
+        albedo = out["albedo_map"] * rescale3
+        roughness = out["roughness_map"]
+        fresnel = out["fresnel_map"]
+
+        # per-point importance samples (512/pt, scripts/relight_importance.py:119)
+        surf2l, light_rgb, light_pdf = env.sample_light(
+            light_name, B, n_light_samples, key)
+        surf2c = safe_l2_normalize(-rays_d, axis=-1)
+
+        cosine = jnp.clip(jnp.einsum("plk,pk->pl", surf2l, normal), 0.0, None)
+        cosine_mask = (cosine > 1e-6) & acc_mask[:, None]
+
+        # visibility marching over (point, light-sample) pairs, tiled
+        P_tot = B * n_light_samples
+        n_tiles = -(-P_tot // vis_tile)
+        pad = n_tiles * vis_tile - P_tot
+        pts = jnp.broadcast_to(surface_xyz[:, None, :],
+                               (B, n_light_samples, 3)).reshape(-1, 3)
+        dirs = surf2l.reshape(-1, 3)
+        mask_flat = cosine_mask.reshape(-1)
+        if pad:
+            pts = jnp.pad(pts, ((0, pad), (0, 0)))
+            dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+            mask_flat = jnp.pad(mask_flat, (0, pad))
+
+        def one_tile(args):
+            p, d, m = args
+            nerv, nerfactor = compute_transmittance(
+                cfg, params, scene, p, d, n_sample=second_n_sample,
+                vis_near=second_near, vis_far=second_far)
+            vis = nerv if vis_equation == "nerv" else nerfactor
+            return vis * m.astype(vis.dtype)
+
+        vis = jax.lax.map(one_tile, (pts.reshape(n_tiles, vis_tile, 3),
+                                     dirs.reshape(n_tiles, vis_tile, 3),
+                                     mask_flat.reshape(n_tiles, vis_tile)))
+        visibility = vis.reshape(-1)[:P_tot].reshape(B, n_light_samples, 1)
+
+        specular = ggx_specular(normal, surf2c, surf2l, roughness, fresnel)
+        brdf = albedo[:, None, :] / np.pi + specular
+        light_rgbs = visibility * light_rgb
+        contrib = brdf * light_rgbs * cosine[..., None] / light_pdf
+        rgb = jnp.mean(contrib, axis=1)
+        rgb = linear2srgb(jnp.clip(rgb, 0.0, 1.0))
+
+        relight_without_bg = jnp.where(acc_mask[:, None], rgb, 1.0)
+        bg = linear2srgb(jnp.clip(env.get_light(light_name, rays_d), 0.0, 1.0))
+        acc_bin = jnp.where(acc[:, None] <= 0.9, 0.0, acc[:, None])
+        relight_with_bg = acc_bin * relight_without_bg + (1.0 - acc_bin) * bg
+
+        return (relight_without_bg, relight_with_bg, acc, albedo, roughness,
+                normal, out["depth_map"])
+
+    return chunk_fn
+
+
+def relight_benchmark(
+    cfg: F.FieldConfig,
+    params: Dict,
+    scene: Dict,
+    dataset,
+    env: EnvironmentLight,
+    *,
+    n_samples: int,
+    save_path: Optional[str] = None,
+    chunk: int = 1024,
+    n_light_samples: int = 512,
+    second_n_sample: int = 96,
+    vis_tile: int = 16384,
+    rescale3=None,
+    seed: int = 20211202,
+    n_views: Optional[int] = None,
+    compute_extra_metrics: bool = False,
+) -> Dict[str, Dict[str, float]]:
+    """Run the full relighting eval; returns {light_name: {psnr, ssim}}."""
+    import imageio.v2 as imageio
+
+    light_names = [n for n in dataset.light_names if n in env.rgbs]
+    if rescale3 is None:
+        rescale3 = jnp.ones((3,), jnp.float32)
+    else:
+        rescale3 = jnp.asarray(rescale3, jnp.float32)
+
+    chunk_fns = {
+        name: make_relight_chunk_fn(
+            cfg, env, name, n_samples=n_samples,
+            n_light_samples=n_light_samples,
+            second_n_sample=second_n_sample, vis_tile=vis_tile)
+        for name in light_names
+    }
+
+    key = jax.random.PRNGKey(seed)
+    psnrs = {n: [] for n in light_names}
+    ssims = {n: [] for n in light_names}
+    lpips_scores = {n: [] for n in light_names}
+
+    total_views = n_views or len(dataset)
+    for vi in range(total_views):
+        item = dataset[vi]
+        W, H = item["img_wh"]
+        rays = np.asarray(item["rays"], np.float32)
+        n = rays.shape[0]
+        for li, name in enumerate(light_names):
+            gt = np.asarray(item["rgbs"][dataset.light_names.index(name)])
+            outs_with, outs_wo = [], []
+            for start in range(0, n, chunk):
+                r = rays[start:start + chunk]
+                pad = chunk - r.shape[0]
+                if pad:
+                    r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
+                key, sub = jax.random.split(key)
+                wo, wbg, *_ = chunk_fns[name](params, scene, jnp.asarray(r),
+                                              sub, rescale3)
+                outs_wo.append(np.asarray(wo))
+                outs_with.append(np.asarray(wbg))
+            img_wo = np.concatenate(outs_wo, 0)[:n].reshape(H, W, 3)
+            img_with = np.concatenate(outs_with, 0)[:n].reshape(H, W, 3)
+            gt_img = gt.reshape(H, W, 3)
+            psnrs[name].append(M.psnr(img_with, gt_img))
+            ssims[name].append(M.rgb_ssim(img_with, gt_img))
+            if compute_extra_metrics:
+                lp = M.rgb_lpips(gt_img, img_with)
+                if lp is not None:
+                    lpips_scores[name].append(lp)
+            if save_path:
+                d = os.path.join(save_path, f"view_{vi:03d}", "relighting")
+                os.makedirs(d, exist_ok=True)
+                to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
+                imageio.imwrite(os.path.join(d, f"{name}.png"), to8(img_with))
+                imageio.imwrite(os.path.join(d, f"{name}_without_bg.png"),
+                                to8(img_wo))
+
+    results = {}
+    for name in light_names:
+        results[name] = {"psnr": float(np.mean(psnrs[name])),
+                         "ssim": float(np.mean(ssims[name]))}
+        if lpips_scores[name]:
+            results[name]["lpips"] = float(np.mean(lpips_scores[name]))
+    if save_path:
+        with open(os.path.join(save_path, "relight_psnr.txt"), "a") as f:
+            for name, r in results.items():
+                f.write(f"{name}: " + ", ".join(
+                    f"{k}: {v:.4f}" for k, v in r.items()) + "\n")
+    return results

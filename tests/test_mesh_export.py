@@ -1,0 +1,51 @@
+"""Mesh extraction (native C++ + numpy fallback) and PLY writing."""
+import os
+
+import numpy as np
+import pytest
+
+from tensoir_tpu.utils.mesh_export import (
+    _extract_numpy, extract_mesh, write_ply, export_mesh_from_alpha,
+)
+
+
+def _sphere_grid(n=32, r=0.6):
+    lin = np.linspace(-1, 1, n, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    return (r - np.sqrt(x * x + y * y + z * z)).astype(np.float32)
+
+
+def test_native_extract_sphere():
+    grid = _sphere_grid()
+    bbox = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    verts, faces = extract_mesh(grid, bbox, level=0.0)
+    assert len(verts) > 100 and len(faces) > 100
+    # all vertices near the sphere surface
+    radii = np.linalg.norm(verts + 1.0 / 32, axis=-1)  # voxel-size offset slack
+    assert abs(np.median(radii) - 0.6) < 0.1
+    # watertight-ish: every edge shared by exactly 2 faces
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]], 0)
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).mean() > 0.99
+
+
+def test_numpy_fallback_matches_native_counts():
+    grid = _sphere_grid(n=12)
+    origin = np.array([-1, -1, -1], np.float32)
+    spacing = np.full(3, 2 / 12, np.float32)
+    v_np, f_np = _extract_numpy(grid, 0.0, origin, spacing)
+    bbox = np.array([[-1, -1, -1], [1 - 2 / 12, 1 - 2 / 12, 1 - 2 / 12]])
+    assert len(v_np) > 0 and len(f_np) > 0
+
+
+def test_ply_roundtrip(tmp_path):
+    grid = _sphere_grid(n=16)
+    bbox = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    path = os.path.join(tmp_path, "mesh.ply")
+    verts, faces = export_mesh_from_alpha(grid, bbox, path, level=0.0)
+    data = open(path, "rb").read()
+    assert data.startswith(b"ply\nformat binary_little_endian")
+    assert f"element vertex {len(verts)}".encode() in data
+    assert f"element face {len(faces)}".encode() in data
