@@ -179,6 +179,9 @@ def _parse_value(raw: str) -> Any:
         return float(raw)
     except ValueError:
         pass
+    # strip quotes: list entries like ["sunset", "snow"]
+    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "\"'":
+        return raw[1:-1]
     return raw
 
 

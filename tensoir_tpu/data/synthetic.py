@@ -110,3 +110,25 @@ class SyntheticSphereDataset:
             "depths": self.all_depths[sl],
             "masks": self.all_masks[sl],
         }
+
+    def __len__(self):
+        return self.n_views
+
+    def __getitem__(self, k: int):
+        """Test-item dict matching the TensoIR loader contract."""
+        v = self.view(k)
+        n = v["rays"].shape[0]
+        albedo = np.broadcast_to(self.albedo, (n, 3)).copy()
+        albedo = np.where(v["masks"][:, None] > 0, albedo, 1.0).astype(
+            np.float32)
+        return {
+            "img_wh": self.img_wh,
+            "light_idx": np.zeros((1, n, 1), np.int32),
+            "rgbs": v["rgbs"][None],
+            "rgbs_mask": v["masks"].astype(bool).reshape(-1, 1),
+            "albedo": albedo,
+            "rays": v["rays"],
+            "normals": np.where(v["masks"][:, None] > 0, v["normals"],
+                                np.array([0.0, 0.0, 1.0],
+                                         np.float32)).astype(np.float32),
+        }

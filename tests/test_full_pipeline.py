@@ -1,0 +1,163 @@
+"""Full-pipeline smoke: config loading (incl. reference-format files),
+the reconstruction loop with phase schedule, eval suite, relight benchmark,
+and mesh export — all tiny, CPU-runnable."""
+import os
+
+import numpy as np
+import pytest
+
+from tensoir_tpu.config import TensoIRConfig, load_config
+from tensoir_tpu.data.synthetic import SyntheticSphereDataset
+
+
+def test_load_our_configs():
+    cfg = load_config("configs/single_light/armadillo.txt")
+    assert cfg.dataset_name == "tensoIR_unknown_rotated_lights"
+    assert cfg.n_lamb_sigma == (16, 16, 16)
+    assert cfg.n_lamb_sh == (48, 48, 48)
+    assert cfg.light_rotation == ("000",)
+    assert cfg.N_voxel_final == 27000000
+    assert cfg.normals_kind == "derived_plus_predicted"
+
+
+def test_load_reference_config_file():
+    """Reference configs/**/*.txt parse unchanged (file compatibility)."""
+    path = "/root/reference/configs/single_light/armadillo.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    cfg = load_config(path)
+    assert cfg.n_iters == 80000
+    assert cfg.batch_size == 4096
+    assert cfg.upsamp_list == (10000, 20000, 30000, 40000)
+    assert cfg.light_rotation == ("000",)
+    assert cfg.rgb_brdf_weight == 0.2
+    assert cfg.L1_weight_inital == 8e-5
+
+
+def test_load_reference_general_config():
+    path = "/root/reference/configs/multi_light_general/ficus.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    cfg = load_config(path)
+    assert cfg.light_name_list == ("sunset", "snow", "courtyard")
+    assert cfg.light_num == 3
+    assert cfg.N_voxel_final == 64000000
+
+
+@pytest.mark.slow
+def test_reconstruction_loop_with_phases(tmp_path):
+    """Mini end-to-end: train through an alpha-mask/shrink/upsample event,
+    then eval + relight + mesh export from the result."""
+    from tensoir_tpu.train.loop import reconstruction
+    from tensoir_tpu.render.eval import evaluation_iter
+    from tensoir_tpu.utils.ckpt import load_checkpoint
+    from tensoir_tpu.models.field import grid_size_of
+    from tensoir_tpu.models.lifecycle import dense_alpha
+    from tensoir_tpu.utils.mesh_export import export_mesh_from_alpha
+
+    ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
+    cfg = TensoIRConfig(
+        n_iters=60,
+        batch_size=256,
+        n_lamb_sigma=(4, 4, 4),
+        n_lamb_sh=(4, 4, 4),
+        data_dim_color=6,
+        featureC=32,
+        N_voxel_init=20 ** 3,
+        N_voxel_final=28 ** 3,
+        upsamp_list=(20,),
+        update_AlphaMask_list=(20, 40),
+        step_ratio=2.0,
+        nSamples=48,
+        numLgtSGs=16,
+        envmap_h=4, envmap_w=8,
+        second_nSample=8,
+        app_cap_per_ray=8,
+        relight_ray_cap=16,
+        secondary_tile=256,
+        vis_every=0,
+        save_iters=0,
+        N_vis=0,
+        progress_refresh_rate=10,
+    )
+    log_dir = os.path.join(tmp_path, "log")
+    result = reconstruction(cfg, ds, log_dir=log_dir)
+    assert len(result.metrics_history) > 0
+    assert np.isfinite(result.metrics_history[-1]["total_loss"])
+    # shrink happened: grid changed from initial 20-ish
+    assert os.path.exists(os.path.join(log_dir, "ckpt_final.npz"))
+
+    # checkpoint roundtrip and eval
+    fcfg, params, scene, extra = load_checkpoint(
+        os.path.join(log_dir, "ckpt_final.npz"))
+    eval_ds = SyntheticSphereDataset(split="test", n_views=2, img_wh=(32, 32))
+    results = evaluation_iter(
+        fcfg, params, scene, eval_ds, n_samples=32,
+        save_path=os.path.join(tmp_path, "eval"), n_vis=1,
+        chunk=256, compute_extra_metrics=True, app_cap=8,
+        relight_ray_cap=64, second_n_sample=8, secondary_tile=256)
+    assert np.isfinite(results["psnr_nvs"])
+    assert "normal_mae_deg" in results
+    assert "psnr_albedo_single" in results
+    assert os.path.exists(os.path.join(tmp_path, "eval",
+                                       "metrics_record.txt"))
+
+    # mesh export from the trained density
+    alpha = dense_alpha(fcfg, params, scene, (16, 16, 16))
+    mesh_path = os.path.join(tmp_path, "mesh.ply")
+    export_mesh_from_alpha(alpha, np.asarray(scene["aabb"]), mesh_path,
+                           level=0.005)
+    assert os.path.exists(mesh_path)
+
+
+@pytest.mark.slow
+def test_relight_benchmark_pipeline(tmp_path):
+    """EnvironmentLight + importance-sampled relighting on a tiny model."""
+    import jax
+    from tensoir_tpu.data.hdr import write_hdr
+    from tensoir_tpu.models.env_light import EnvironmentLight
+    from tensoir_tpu.models.field import FieldConfig, init_field_params
+    from tensoir_tpu.render.relight_pipeline import relight_benchmark
+
+    hdr_dir = os.path.join(tmp_path, "hdr")
+    os.makedirs(hdr_dir)
+    rng = np.random.default_rng(0)
+    for name in ("bridge", "city"):
+        write_hdr(os.path.join(hdr_dir, f"{name}.hdr"),
+                  rng.random((8, 16, 3)).astype(np.float32))
+    env = EnvironmentLight(hdr_dir)
+    assert set(env.light_names) == {"bridge", "city"}
+
+    d, rgb, pdf = env.sample_light("bridge", 4, 32, jax.random.PRNGKey(0))
+    assert d.shape == (4, 32, 3) and rgb.shape == (4, 32, 3)
+    assert np.all(np.asarray(pdf) > 0)
+
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4),
+                      app_dim=6, feature_c=32, num_sgs=16,
+                      envmap_h=4, envmap_w=8, step_ratio=2.0)
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    params, scene = init_field_params(jax.random.PRNGKey(0), cfg,
+                                      (16, 16, 16), aabb)
+
+    class MiniRelightDS:
+        light_names = ["bridge", "city"]
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            base = SyntheticSphereDataset(split="test", n_views=1,
+                                          img_wh=(16, 16))
+            item = base[0]
+            item["rgbs"] = np.stack([item["rgbs"][0]] * 2, 0)
+            return item
+
+    results = relight_benchmark(
+        cfg, params, scene, MiniRelightDS(), env, n_samples=24,
+        save_path=os.path.join(tmp_path, "relight"), chunk=64,
+        n_light_samples=16, second_n_sample=8, vis_tile=256)
+    assert set(results.keys()) == {"bridge", "city"}
+    for r in results.values():
+        assert np.isfinite(r["psnr"])
+    assert os.path.exists(os.path.join(tmp_path, "relight",
+                                       "relight_psnr.txt"))
