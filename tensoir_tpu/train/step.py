@@ -56,13 +56,17 @@ class StepStatic:
     second_near: float = 0.05
     second_far: float = 1.5
     secondary_tile: int = 16384
+    # disable all stochastic elements (march jitter, random bg, light-dir
+    # jitter) — used for shard-invariance tests and deterministic debugging
+    deterministic: bool = False
 
 
 def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
                  step, st: StepStatic, w: LossWeights):
     ret = render_train_batch(
         cfg, params, scene, batch["rays"], batch["light_idx"],
-        n_samples=st.n_samples, key=key, is_train=True,
+        n_samples=st.n_samples, key=None if st.deterministic else key,
+        is_train=not st.deterministic,
         is_relight=st.is_relight, white_bg=st.white_bg,
         sample_method=st.sample_method, app_cap=st.app_cap,
         relight_ray_cap=st.relight_ray_cap,
