@@ -74,6 +74,7 @@ def main():
 
     st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
                     app_cap=32, relight_ray_cap=RELIGHT_CAP,
+                    march_cap=192, second_march_cap=32,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)
@@ -91,19 +92,24 @@ def main():
     }
     key = jax.random.PRNGKey(1)
 
+    def sync(metrics):
+        # force a real device->host sync: on the experimental axon backend
+        # block_until_ready alone does not guarantee execution completed
+        return float(metrics["total_loss"])
+
     # warmup / compile
     p, s = params, opt_state
     for i in range(2):
         key, sub = jax.random.split(key)
         p, s, m = step_fn(p, s, scene, batch, sub, jnp.asarray(i))
-    jax.block_until_ready(p)
+    sync(m)
 
     n_iters = 10 if platform != "cpu" else 3
     t0 = time.perf_counter()
     for i in range(n_iters):
         key, sub = jax.random.split(key)
         p, s, m = step_fn(p, s, scene, batch, sub, jnp.asarray(i + 2))
-    jax.block_until_ready(p)
+    sync(m)
     dt = time.perf_counter() - t0
 
     env_dirs = ENV_H * ENV_W

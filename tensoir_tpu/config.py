@@ -134,6 +134,11 @@ class TensoIRConfig:
     # reference's dynamic `weight > thres` boolean compaction,
     # tensorBase_rotated_lights.py:924-926). 0 = dense (shade every sample).
     app_cap_per_ray: int = 32
+    # Occupancy-culled marching caps: evaluate the VM field only on the
+    # first k alpha-mask-occupied samples per ray (0 = dense). Primary cull
+    # activates once the alpha mask exists (the relight phase).
+    march_cap_primary: int = 192
+    march_cap_secondary: int = 32
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

@@ -27,7 +27,8 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
                        is_relight: bool = True, white_bg: bool = True,
                        app_cap: int = 64, relight_ray_cap: int = 0,
                        second_n_sample: int = 96, second_near: float = 0.05,
-                       second_far: float = 1.5, secondary_tile: int = 16384):
+                       second_far: float = 1.5, secondary_tile: int = 16384,
+                       march_cap: int = 256, second_march_cap: int = 48):
     """Jitted fixed-size chunk renderer (eval: no jitter, fixed envmap dirs)."""
 
     @jax.jit
@@ -37,6 +38,7 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
             n_samples=n_samples, key=None, is_train=False,
             is_relight=is_relight, white_bg=white_bg,
             sample_method="fixed_envirmap", app_cap=app_cap,
+            march_cap=march_cap, second_march_cap=second_march_cap,
             relight_ray_cap=relight_ray_cap,
             second_n_sample=second_n_sample, second_near=second_near,
             second_far=second_far, secondary_tile=secondary_tile)

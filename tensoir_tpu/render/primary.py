@@ -52,6 +52,29 @@ def shade_radiance(cfg: F.FieldConfig, params, pts, viewdirs, features):
     raise ValueError(f"unknown shading mode {cfg.shading_mode}")
 
 
+def select_occupied_samples(valid: jax.Array, cap: int):
+    """Indices of the first `cap` occupied samples per ray (ascending depth).
+
+    TPU-native replacement for the reference's dynamic boolean compaction of
+    `ray_valid` (tensorBase_rotated_lights.py:915-919): marching evaluates
+    the cheap occupancy mask densely, then the expensive VM field only on a
+    fixed top-k of occupied samples. Exact whenever <= cap samples per ray
+    are occupied (invalid samples contribute sigma = 0 either way; the
+    transmittance product is over per-sample spacings, so skipping
+    zero-sigma samples does not change it).
+
+    Args:
+      valid: [B, S] bool occupancy.
+      cap: static k.
+    Returns (idx [B, k] int32 ascending, sel_valid [B, k] bool).
+    """
+    B, S = valid.shape
+    score = jnp.where(valid, (S - jax.lax.broadcasted_iota(
+        jnp.int32, (B, S), 1)).astype(jnp.float32), -1.0)
+    top, idx = jax.lax.top_k(score, cap)     # descending score = ascending depth
+    return idx, top > 0.0
+
+
 def _relative_smoothness(values, values_jitter):
     """sum(((v - vj)/max(v, vj))^2) (tensorBase_rotated_lights.py:858-863)."""
     base = jnp.clip(jnp.maximum(values, values_jitter), 1e-6, None)
@@ -72,6 +95,7 @@ def render_rays(
     is_relight: bool = True,
     white_bg: bool = True,
     app_cap: int = 32,
+    march_cap: int = 0,   # 0 = dense march; >0 = occupancy-culled marching
     normal_gt: Optional[jax.Array] = None,  # [B, 3] for 'gt_normals'
 ) -> Dict[str, jax.Array]:
     B = rays.shape[0]
@@ -95,8 +119,18 @@ def render_rays(
     alphas = F.sample_alpha_mask(scene, xyz)
     ray_valid = ray_valid & (alphas > 0)
 
-    # density — dense masked compute
     coords = F.normalize_coord(aabb, xyz)                      # [B, S, 3]
+
+    # occupancy-culled marching: evaluate the VM field only on the first
+    # march_cap occupied samples per ray (exact under the reference's own
+    # alpha-mask culling; see select_occupied_samples)
+    if 0 < march_cap < n_samples:
+        midx, ray_valid = select_occupied_samples(ray_valid, march_cap)
+        coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
+        z_vals = jnp.take_along_axis(z_vals, midx, axis=1)
+        dists = jnp.take_along_axis(dists, midx, axis=1)
+
+    # density — dense masked compute on the (possibly culled) sample set
     sigma_feat = F.density_feature(cfg, params, coords)
     sigma = jnp.where(ray_valid, F.feature2density(cfg, sigma_feat), 0.0)
 
@@ -106,7 +140,7 @@ def render_rays(
     depth_map = jnp.sum(weight * z_vals, -1)
 
     # ---- appearance compaction: fixed-size top-k by weight ----
-    S = n_samples
+    S = weight.shape[1]
     k = app_cap if 0 < app_cap < S else S
     if k < S:
         masked_w = jnp.where(weight > cfg.raymarch_weight_thres, weight, -1.0)

@@ -50,7 +50,8 @@ def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
         out = render_rays(cfg, params, scene, rays,
                           jnp.zeros((B,), jnp.int32),
                           n_samples=n_samples, key=None, is_train=False,
-                          is_relight=True, white_bg=True, app_cap=64)
+                          is_relight=True, white_bg=True, app_cap=64,
+                          march_cap=256)
         acc = out["acc_map"]
         acc_mask = acc > acc_mask_threshold
         rays_o, rays_d = rays[:, :3], rays[:, 3:6]
@@ -85,7 +86,7 @@ def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
             p, d, m = args
             nerv, nerfactor = compute_transmittance(
                 cfg, params, scene, p, d, n_sample=second_n_sample,
-                vis_near=second_near, vis_far=second_far)
+                vis_near=second_near, vis_far=second_far, march_cap=48)
             vis = nerv if vis_equation == "nerv" else nerfactor
             return vis * m.astype(vis.dtype)
 

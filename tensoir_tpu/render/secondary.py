@@ -35,6 +35,7 @@ def compute_radiance(
     vis_near: float = 0.05,
     vis_far: float = 1.5,
     app_cap: int = 16,
+    march_cap: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """March a secondary ray: (nerv_vis, nerfactor_vis, indirect_light).
 
@@ -42,16 +43,27 @@ def compute_radiance(
     visibility = final transmittance ('nerv') or 1-acc ('nerfactor'),
     indirect = weight-composited radiance-field RGB along the ray (queried
     with `compute_appfeature`, i.e. the light-conditioned radiance).
+
+    march_cap > 0 enables occupancy-culled marching: the dense VM density is
+    only evaluated on the first march_cap alpha-mask-occupied samples
+    (primary.select_occupied_samples) — the dominant-cost optimization for
+    the visibility hot loop (SURVEY.md §3.1).
     """
     aabb = scene["aabb"]
     xyz, z_vals, valid = sample_ray_equally(
         surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
-    dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
+    z_vals = jnp.broadcast_to(z_vals, xyz.shape[:2])
+    dists = z_to_dists(z_vals)
 
     alphas = F.sample_alpha_mask(scene, xyz)
     valid = valid & (alphas > 0)
 
     coords = F.normalize_coord(aabb, xyz)
+    if 0 < march_cap < n_sample:
+        midx, valid = primary.select_occupied_samples(valid, march_cap)
+        coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
+        dists = jnp.take_along_axis(dists, midx, axis=1)
+
     sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     alpha, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
 
@@ -91,6 +103,7 @@ def compute_transmittance(
     n_sample: int = 96,
     vis_near: float = 0.05,
     vis_far: float = 1.5,
+    march_cap: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility only (relight_utils.py:657-705), used at relighting eval."""
     aabb = scene["aabb"]
@@ -100,6 +113,10 @@ def compute_transmittance(
     alphas = F.sample_alpha_mask(scene, xyz)
     valid = valid & (alphas > 0)
     coords = F.normalize_coord(aabb, xyz)
+    if 0 < march_cap < n_sample:
+        midx, valid = primary.select_occupied_samples(valid, march_cap)
+        coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
+        dists = jnp.take_along_axis(dists, midx, axis=1)
     sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     _, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
     return transmittance[..., 0], 1.0 - jnp.sum(weight, -1)
@@ -119,6 +136,7 @@ def secondary_shading_tiled(
     vis_far: float,
     tile: int = 16384,
     app_cap: int = 16,
+    march_cap: int = 32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -152,7 +170,7 @@ def secondary_shading_tiled(
         nerv, _, ind = compute_radiance(
             cfg, params, scene, p, d, li,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
-            app_cap=app_cap)
+            app_cap=app_cap, march_cap=march_cap)
         mf = m.astype(nerv.dtype)
         return nerv * mf, ind * mf[..., None]
 

@@ -32,6 +32,8 @@ def render_train_batch(
     white_bg: bool = True,
     sample_method: str = "stratified_sampling",
     app_cap: int = 32,
+    march_cap: int = 0,
+    second_march_cap: int = 32,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
     second_near: float = 0.05,
@@ -48,7 +50,7 @@ def render_train_batch(
         cfg, params, scene, rays, light_idx,
         n_samples=n_samples, key=k_fwd, is_train=is_train,
         is_relight=is_relight, white_bg=white_bg, app_cap=app_cap,
-        normal_gt=normal_gt)
+        march_cap=march_cap, normal_gt=normal_gt)
 
     if not is_relight:
         ret["rgb_with_brdf_map"] = jnp.ones_like(ret["rgb_map"])
@@ -84,6 +86,7 @@ def render_train_batch(
         second_near=second_near,
         second_far=second_far,
         secondary_tile=secondary_tile,
+        second_march_cap=second_march_cap,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)
 

@@ -151,6 +151,8 @@ def reconstruction(
             n_samples=n_samples, is_relight=relight, white_bg=white_bg,
             sample_method=cfg.light_sample_train,
             app_cap=cfg.app_cap_per_ray,
+            march_cap=cfg.march_cap_primary if relight else 0,
+            second_march_cap=cfg.march_cap_secondary,
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,

@@ -1,0 +1,95 @@
+"""Occupancy-culled marching must match dense marching exactly when the
+per-ray occupied-sample count fits in the cap."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tensoir_tpu.models.field import FieldConfig, init_field_params
+from tensoir_tpu.models import lifecycle as LC
+from tensoir_tpu.render.primary import render_rays, select_occupied_samples
+from tensoir_tpu.render.secondary import compute_radiance, compute_transmittance
+
+
+def _model_with_mask():
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4),
+                      app_dim=6, feature_c=32, num_sgs=16, envmap_h=4,
+                      envmap_w=8, step_ratio=2.0,
+                      normals_kind="purely_predicted")
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    params, scene = init_field_params(jax.random.PRNGKey(0), cfg,
+                                      (24, 24, 24), aabb)
+    # concentrate density near the center so the mask is sparse
+    params = dict(params)
+    for i in range(3):
+        g = params[f"density_plane_{i}"]
+        H, W, R = g.shape
+        yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                             indexing="ij")
+        bump = np.exp(-((xx ** 2 + yy ** 2) / 0.08)).astype(np.float32)
+        params[f"density_plane_{i}"] = g + 4.0 * jnp.asarray(bump)[..., None]
+    scene, _ = LC.update_alpha_mask(cfg, params, scene, (24, 24, 24))
+    return cfg, params, scene
+
+
+def test_select_occupied_samples():
+    valid = jnp.asarray(np.array([
+        [0, 1, 1, 0, 0, 1, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [1, 1, 1, 1, 1, 1, 1, 1],
+    ], bool))
+    idx, sel = select_occupied_samples(valid, 4)
+    idx, sel = np.asarray(idx), np.asarray(sel)
+    assert list(idx[0][sel[0]]) == [1, 2, 5]
+    assert not sel[1].any()
+    assert list(idx[2]) == [0, 1, 2, 3]  # ascending depth
+
+
+def test_primary_culled_matches_dense():
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(0)
+    o = np.zeros((24, 3), np.float32)
+    o[:, 2] = -4.0
+    d = rng.normal(size=(24, 3)).astype(np.float32) * 0.1
+    d[:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate([o, d], -1))
+    lidx = jnp.zeros(24, jnp.int32)
+
+    dense = render_rays(cfg, params, scene, rays, lidx, n_samples=64,
+                        key=None, is_train=False, is_relight=True,
+                        white_bg=True, app_cap=0, march_cap=0)
+    culled = render_rays(cfg, params, scene, rays, lidx, n_samples=64,
+                         key=None, is_train=False, is_relight=True,
+                         white_bg=True, app_cap=0, march_cap=48)
+    for k in ("rgb_map", "depth_map", "acc_map", "albedo_map", "normal_map"):
+        np.testing.assert_allclose(np.asarray(culled[k]),
+                                   np.asarray(dense[k]), atol=1e-5,
+                                   rtol=1e-4, err_msg=k)
+
+
+def test_secondary_culled_matches_dense():
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (32, 3)).astype(np.float32))
+    dirs = rng.normal(size=(32, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    lidx = jnp.zeros(32, jnp.int32)
+
+    nerv_d, nf_d, ind_d = compute_radiance(cfg, params, scene, pts, dirs,
+                                           lidx, n_sample=48, app_cap=0,
+                                           march_cap=0)
+    nerv_c, nf_c, ind_c = compute_radiance(cfg, params, scene, pts, dirs,
+                                           lidx, n_sample=48, app_cap=0,
+                                           march_cap=32)
+    np.testing.assert_allclose(np.asarray(nerv_c), np.asarray(nerv_d),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ind_c), np.asarray(ind_d),
+                               atol=1e-5, rtol=1e-4)
+
+    t_d = compute_transmittance(cfg, params, scene, pts, dirs, n_sample=48,
+                                march_cap=0)
+    t_c = compute_transmittance(cfg, params, scene, pts, dirs, n_sample=48,
+                                march_cap=32)
+    np.testing.assert_allclose(np.asarray(t_c[0]), np.asarray(t_d[0]),
+                               atol=1e-5, rtol=1e-4)
