@@ -65,9 +65,20 @@ def main():
     aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
     params, scene = init_field_params(
         jax.random.PRNGKey(0), cfg, (GRID, GRID, GRID), aabb)
-    # seed some density so the workload resembles mid-training occupancy
+    # seed a blob of density + build a real alpha mask so occupancy matches
+    # mid-training structure (relight phase always has a mask)
+    lin = np.linspace(-1, 1, 64, dtype=np.float32)
     for i in range(3):
-        params[f"density_plane_{i}"] = params[f"density_plane_{i}"] + 0.5
+        g = params[f"density_plane_{i}"]
+        H, W, _ = g.shape
+        yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                             indexing="ij")
+        bump = np.exp(-((xx ** 2 + yy ** 2) / 0.18)).astype(np.float32)
+        params[f"density_plane_{i}"] = g + 5.0 * jnp.asarray(bump)[..., None]
+    from tensoir_tpu.models.lifecycle import update_alpha_mask
+    mask_reso = 128 if platform != "cpu" else 24
+    scene, _ = update_alpha_mask(cfg, params, scene,
+                                 (mask_reso, mask_reso, mask_reso))
 
     optimizer = make_optimizer(params, 0.02, 1e-3, 0.999971)
     opt_state = optimizer.init(params)
@@ -75,6 +86,7 @@ def main():
     st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
                     app_cap=32, relight_ray_cap=RELIGHT_CAP,
                     march_cap=192, second_march_cap=32,
+                    secondary_use_baked=True,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)

@@ -139,6 +139,9 @@ class TensoIRConfig:
     # activates once the alpha mask exists (the relight phase).
     march_cap_primary: int = 192
     march_cap_secondary: int = 32
+    # March secondary visibility rays against a per-step baked dense sigma
+    # grid (pure einsum bake, trilinear lookups) instead of exact VM gathers.
+    secondary_use_baked: bool = True
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

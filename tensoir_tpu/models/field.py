@@ -33,7 +33,7 @@ import numpy as np
 
 from tensoir_tpu.models import mlps
 from tensoir_tpu.models import lighting
-from tensoir_tpu.ops.interp import bilerp_plane, lerp_line, trilerp_volume
+from tensoir_tpu.ops.interp import bilerp_plane, lerp_line, trilerp_volume  # noqa: F401 (trilerp re-exported)
 from tensoir_tpu.ops.rays import safe_l2_normalize
 
 MAT_MODE = ((0, 1), (0, 2), (1, 2))
@@ -295,6 +295,41 @@ def derived_normals(cfg: FieldConfig, params: Dict, coords):
     grad_fn = jax.grad(lambda c: jnp.sum(density(cfg, params, c)))
     g = grad_fn(coords)
     return -safe_l2_normalize(g, axis=-1)
+
+
+# ------------------------------------------------------------- baked density
+
+def bake_sigma_feature_grid(cfg: FieldConfig, params: Dict) -> jax.Array:
+    """Dense sigma-feature grid [Z, Y, X] from the VM factors.
+
+    Evaluating the VM field on its OWN grid nodes is a pure outer
+    product — broadcast multiplies + sums on the MXU/VPU with ZERO gathers:
+      term_i[x, y, z] = sum_r plane_i[a, b, r] * line_i[c, r].
+    Used as a cheap-to-march proxy for the no-grad secondary visibility pass
+    (the dominant hot loop, SURVEY.md §3.1): baking costs ~X*Y*Z*R FLOPs per
+    step, then each secondary sample is ONE trilinear lookup instead of six
+    bilinear/linear VM gathers. Values at grid nodes are exact; off-node the
+    trilinear proxy differs from the exact VM bilinear-product only by
+    sub-voxel cross terms.
+    """
+    if cfg.decomp == "cp":
+        l0 = params["density_line_0"]  # [Z, R]
+        l1 = params["density_line_1"]  # [Y, R]
+        l2 = params["density_line_2"]  # [X, R]
+        return jnp.einsum("zr,yr,xr->zyx", l0, l1, l2)
+    p0, l0 = params["density_plane_0"], params["density_line_0"]  # [Y,X,R],[Z,R]
+    p1, l1 = params["density_plane_1"], params["density_line_1"]  # [Z,X,R],[Y,R]
+    p2, l2 = params["density_plane_2"], params["density_line_2"]  # [Z,Y,R],[X,R]
+    out = jnp.einsum("yxr,zr->zyx", p0, l0)
+    out = out + jnp.einsum("zxr,yr->zyx", p1, l1)
+    out = out + jnp.einsum("zyr,xr->zyx", p2, l2)
+    return out
+
+
+def density_feature_baked(baked: jax.Array, aabb, xyz) -> jax.Array:
+    """Trilinear lookup of a baked sigma-feature grid at world points."""
+    coords = normalize_coord(aabb, xyz)
+    return trilerp_volume(baked, coords)
 
 
 # ---------------------------------------------------------------- alpha mask

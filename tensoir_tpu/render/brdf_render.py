@@ -55,6 +55,7 @@ def render_with_brdf(
     second_far: float = 1.5,
     secondary_tile: int = 16384,
     second_march_cap: int = 32,
+    secondary_use_baked: bool = True,
     use_linear2srgb: bool = True,
 ) -> jax.Array:
     """Physically-based RGB per ray [P, 3] (relight_utils.py:403-483)."""
@@ -77,7 +78,8 @@ def render_with_brdf(
     visibility, indirect = secondary_shading_tiled(
         cfg, params, scene, surface_xyz, surf2l, light_idx, cosine_mask,
         n_sample=second_n_sample, vis_near=second_near, vis_far=second_far,
-        tile=secondary_tile, march_cap=second_march_cap)
+        tile=secondary_tile, march_cap=second_march_cap,
+        use_baked=secondary_use_baked)
 
     specular = ggx_specular(normal_map, surf2c, surf2l, roughness_map,
                             fresnel_map)                        # [P, L, 3]

@@ -36,6 +36,7 @@ def compute_radiance(
     vis_far: float = 1.5,
     app_cap: int = 16,
     march_cap: int = 0,
+    baked=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """March a secondary ray: (nerv_vis, nerfactor_vis, indirect_light).
 
@@ -64,7 +65,11 @@ def compute_radiance(
         coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
         dists = jnp.take_along_axis(dists, midx, axis=1)
 
-    sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
+    if baked is not None:
+        feat = primary.F.trilerp_volume(baked, coords)
+        sigma = jnp.where(valid, F.feature2density(cfg, feat), 0.0)
+    else:
+        sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     alpha, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
 
     # appearance on per-ray top-k samples (weight > thres in the reference)
@@ -104,6 +109,7 @@ def compute_transmittance(
     vis_near: float = 0.05,
     vis_far: float = 1.5,
     march_cap: int = 0,
+    baked=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility only (relight_utils.py:657-705), used at relighting eval."""
     aabb = scene["aabb"]
@@ -117,7 +123,11 @@ def compute_transmittance(
         midx, valid = primary.select_occupied_samples(valid, march_cap)
         coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
         dists = jnp.take_along_axis(dists, midx, axis=1)
-    sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
+    if baked is not None:
+        sigma = jnp.where(valid, F.feature2density(
+            cfg, F.trilerp_volume(baked, coords)), 0.0)
+    else:
+        sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     _, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
     return transmittance[..., 0], 1.0 - jnp.sum(weight, -1)
 
@@ -137,6 +147,7 @@ def secondary_shading_tiled(
     tile: int = 16384,
     app_cap: int = 16,
     march_cap: int = 32,
+    use_baked: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -170,7 +181,7 @@ def secondary_shading_tiled(
         nerv, _, ind = compute_radiance(
             cfg, params, scene, p, d, li,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
-            app_cap=app_cap, march_cap=march_cap)
+            app_cap=app_cap, march_cap=march_cap, baked=baked)
         mf = m.astype(nerv.dtype)
         return nerv * mf, ind * mf[..., None]
 

@@ -34,6 +34,7 @@ def render_train_batch(
     app_cap: int = 32,
     march_cap: int = 0,
     second_march_cap: int = 32,
+    secondary_use_baked: bool = True,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
     second_near: float = 0.05,
@@ -87,6 +88,7 @@ def render_train_batch(
         second_far=second_far,
         secondary_tile=secondary_tile,
         second_march_cap=second_march_cap,
+        secondary_use_baked=secondary_use_baked,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)
 

@@ -153,6 +153,7 @@ def reconstruction(
             app_cap=cfg.app_cap_per_ray,
             march_cap=cfg.march_cap_primary if relight else 0,
             second_march_cap=cfg.march_cap_secondary,
+            secondary_use_baked=cfg.secondary_use_baked,
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,

@@ -53,6 +53,7 @@ class StepStatic:
     app_cap: int = 32
     march_cap: int = 0          # primary occupancy-culled marching (0=dense)
     second_march_cap: int = 32  # secondary-ray occupancy cull
+    secondary_use_baked: bool = True  # baked sigma grid for visibility
     relight_ray_cap: int = 1024
     second_n_sample: int = 96
     second_near: float = 0.05
@@ -72,6 +73,7 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         is_relight=st.is_relight, white_bg=st.white_bg,
         sample_method=st.sample_method, app_cap=st.app_cap,
         march_cap=st.march_cap, second_march_cap=st.second_march_cap,
+        secondary_use_baked=st.secondary_use_baked,
         relight_ray_cap=st.relight_ray_cap,
         second_n_sample=st.second_n_sample, second_near=st.second_near,
         second_far=st.second_far, secondary_tile=st.secondary_tile,
