@@ -55,20 +55,20 @@ def compute_radiance(
         surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
     z_vals = jnp.broadcast_to(z_vals, xyz.shape[:2])
     dists = z_to_dists(z_vals)
-
-    alphas = F.sample_alpha_mask(scene, xyz)
-    valid = valid & (alphas > 0)
-
     coords = F.normalize_coord(aabb, xyz)
-    if 0 < march_cap < n_sample:
-        midx, valid = primary.select_occupied_samples(valid, march_cap)
-        coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
-        dists = jnp.take_along_axis(dists, midx, axis=1)
 
     if baked is not None:
-        feat = primary.F.trilerp_volume(baked, coords)
+        # corner-packed baked grid: ONE gather per sample; the alpha mask is
+        # folded in at bake time, so no occupancy lookup / cull is needed
+        feat = F.density_feature_packed(baked, coords)
         sigma = jnp.where(valid, F.feature2density(cfg, feat), 0.0)
     else:
+        alphas = F.sample_alpha_mask(scene, xyz)
+        valid = valid & (alphas > 0)
+        if 0 < march_cap < n_sample:
+            midx, valid = primary.select_occupied_samples(valid, march_cap)
+            coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
+            dists = jnp.take_along_axis(dists, midx, axis=1)
         sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     alpha, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
 
@@ -116,17 +116,17 @@ def compute_transmittance(
     xyz, z_vals, valid = sample_ray_equally(
         surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
     dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
-    alphas = F.sample_alpha_mask(scene, xyz)
-    valid = valid & (alphas > 0)
     coords = F.normalize_coord(aabb, xyz)
-    if 0 < march_cap < n_sample:
-        midx, valid = primary.select_occupied_samples(valid, march_cap)
-        coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
-        dists = jnp.take_along_axis(dists, midx, axis=1)
     if baked is not None:
         sigma = jnp.where(valid, F.feature2density(
-            cfg, F.trilerp_volume(baked, coords)), 0.0)
+            cfg, F.density_feature_packed(baked, coords)), 0.0)
     else:
+        alphas = F.sample_alpha_mask(scene, xyz)
+        valid = valid & (alphas > 0)
+        if 0 < march_cap < n_sample:
+            midx, valid = primary.select_occupied_samples(valid, march_cap)
+            coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
+            dists = jnp.take_along_axis(dists, midx, axis=1)
         sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     _, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
     return transmittance[..., 0], 1.0 - jnp.sum(weight, -1)
@@ -156,6 +156,12 @@ def secondary_shading_tiled(
     Returns (visibility [P, L, 1], indirect [P, L, 3]); everything is
     stop_gradient'ed (the reference runs under torch.no_grad).
     """
+    baked = None
+    if use_baked:
+        # computed once; hoisted out of the lax.map body as a loop invariant
+        baked = jax.lax.stop_gradient(
+            F.bake_packed_sigma_grid(cfg, params, scene))
+
     P, L, _ = surf2light.shape
     pts = jnp.broadcast_to(surf_pts[:, None, :], (P, L, 3)).reshape(-1, 3)
     dirs = surf2light.reshape(-1, 3)

@@ -68,9 +68,64 @@ def test_transmittance_baked_close_to_exact():
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     dirs = jnp.asarray(dirs)
 
+    from tensoir_tpu.models.field import bake_packed_sigma_grid
+    packed = bake_packed_sigma_grid(cfg, params, scene, dtype=jnp.float32)
     t_exact, _ = compute_transmittance(cfg, params, scene, pts, dirs,
                                        n_sample=48)
     t_baked, _ = compute_transmittance(cfg, params, scene, pts, dirs,
-                                       n_sample=48, baked=baked)
+                                       n_sample=48, baked=packed)
     np.testing.assert_allclose(np.asarray(t_baked), np.asarray(t_exact),
                                atol=0.05)
+
+
+def test_packed_matches_plain_baked():
+    from tensoir_tpu.models.field import (
+        bake_packed_sigma_grid, density_feature_packed,
+    )
+    from tensoir_tpu.models import lifecycle as LC
+    import jax.numpy as jnp
+
+    cfg, params, scene = _model(grid=(20, 24, 28))
+    params = dict(params)
+    for i in range(3):
+        params[f"density_plane_{i}"] = params[f"density_plane_{i}"] + 1.0
+    scene, _ = LC.update_alpha_mask(cfg, params, scene, (16, 16, 16))
+
+    baked = bake_sigma_feature_grid(cfg, params)
+    packed = bake_packed_sigma_grid(cfg, params, scene, dtype=jnp.float32)
+    assert packed.shape == (27, 23, 19, 8)
+
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.uniform(-0.9, 0.9, (300, 3)).astype(np.float32))
+    plain = np.asarray(
+        jax.vmap(lambda c: baked[0, 0, 0] * 0)(coords[:, 0])) * 0  # noqa
+    from tensoir_tpu.ops.interp import trilerp_volume
+    plain = np.asarray(trilerp_volume(baked, coords))
+    got = np.asarray(density_feature_packed(packed, coords))
+
+    # where the mask keeps all 8 corners, packed == plain trilinear
+    mask_vals = np.asarray(trilerp_volume(
+        jnp.asarray((np.asarray(
+            bake_packed_sigma_grid(cfg, params, scene,
+                                   dtype=jnp.float32)) > -1e3).all(-1)
+            .astype(np.float32)), coords * (1 - 1e-6)))
+    keep = mask_vals > 0.999
+    np.testing.assert_allclose(got[keep], plain[keep], atol=1e-3, rtol=1e-3)
+
+
+def test_packed_secondary_runs():
+    from tensoir_tpu.render.secondary import secondary_shading_tiled
+    cfg, params, scene = _model(grid=(16, 16, 16))
+    rng = np.random.default_rng(4)
+    P, L = 8, 16
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (P, 3)).astype(np.float32))
+    dirs = rng.normal(size=(P, L, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    vis, ind = secondary_shading_tiled(
+        cfg, params, scene, pts, jnp.asarray(dirs),
+        jnp.zeros((P,), jnp.int32), jnp.ones((P, L), bool),
+        n_sample=16, vis_near=0.05, vis_far=1.5, tile=64,
+        use_baked=True)
+    assert vis.shape == (P, L, 1)
+    assert np.isfinite(np.asarray(vis)).all()
+    assert np.isfinite(np.asarray(ind)).all()
