@@ -35,6 +35,7 @@ def compute_radiance(
     vis_near: float = 0.05,
     vis_far: float = 1.5,
     app_cap: int = 16,
+    app_pair_cap: int = 0,
     march_cap: int = 0,
     baked=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -72,25 +73,53 @@ def compute_radiance(
         sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     alpha, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
 
-    # appearance on per-ray top-k samples (weight > thres in the reference)
+    # ---- indirect light: two-stage compaction --------------------------
+    # Stage 1 (pair level): most (point, dir) pairs hit nothing along the
+    # secondary ray — only a fixed capacity of pairs with any
+    # weight > thres sample gets appearance evaluation at all (the
+    # reference's app_mask has the same effect, relight_utils.py:822-825).
+    # Stage 2 (sample level): per selected pair, top app_cap samples.
     N, S = sigma.shape
+    masked_w = jnp.where(weight > cfg.raymarch_weight_thres, weight, 0.0)
+
+    pair_cap = app_pair_cap if 0 < app_pair_cap < N else N
+    if pair_cap < N:
+        ray_score = jnp.max(masked_w, axis=1)                    # [N]
+        pair_score, pair_idx = jax.lax.top_k(ray_score, pair_cap)
+        pair_valid = pair_score > 0.0
+        sub_w = jnp.take(masked_w, pair_idx, axis=0)
+        sub_coords = jnp.take(coords, pair_idx, axis=0)
+        sub_dirs = jnp.take(light_in_dir, pair_idx, axis=0)
+        sub_lidx = jnp.take(light_idx, pair_idx, axis=0)
+    else:
+        pair_idx = None
+        pair_valid = jnp.ones((N,), bool)
+        sub_w, sub_coords = masked_w, coords
+        sub_dirs, sub_lidx = light_in_dir, light_idx
+
     k = app_cap if 0 < app_cap < S else S
     if k < S:
-        masked_w = jnp.where(weight > cfg.raymarch_weight_thres, weight, -1.0)
-        top_w, top_idx = jax.lax.top_k(masked_w, k)
+        top_w, top_idx = jax.lax.top_k(sub_w, k)
         sel_mask = top_w > 0.0
+        pts_sel = jnp.take_along_axis(sub_coords, top_idx[..., None], axis=1)
+        w_sel = top_w * sel_mask
     else:
-        top_idx = jnp.broadcast_to(jnp.arange(S)[None, :], (N, S))
-        sel_mask = weight > cfg.raymarch_weight_thres
+        pts_sel = sub_coords
+        w_sel = sub_w
 
-    pts_sel = jnp.take_along_axis(coords, top_idx[..., None], axis=1)
-    w_sel = jnp.take_along_axis(weight, top_idx, axis=1) * sel_mask
-    vdirs = jnp.broadcast_to(light_in_dir[:, None, :], pts_sel.shape)
-    lidx = jnp.broadcast_to(light_idx[:, None], pts_sel.shape[:2])
+    vdirs = jnp.broadcast_to(sub_dirs[:, None, :], pts_sel.shape)
+    lidx = jnp.broadcast_to(sub_lidx[:, None], pts_sel.shape[:2])
 
     feat = F.app_feature(cfg, params, pts_sel, lidx)
     rgb = primary.shade_radiance(cfg, params, pts_sel, vdirs, feat)
-    indirect = jnp.sum(w_sel[..., None] * rgb, axis=-2)        # [N, 3]
+    sub_indirect = (jnp.sum(w_sel[..., None] * rgb, axis=-2)
+                    * pair_valid[:, None])                       # [cap, 3]
+
+    if pair_idx is not None:
+        indirect = jnp.zeros((N, 3), sub_indirect.dtype).at[pair_idx].set(
+            sub_indirect)
+    else:
+        indirect = sub_indirect
 
     acc = jnp.sum(weight, -1)
     nerv_vis = transmittance[..., 0]
@@ -187,7 +216,8 @@ def secondary_shading_tiled(
         nerv, _, ind = compute_radiance(
             cfg, params, scene, p, d, li,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
-            app_cap=app_cap, march_cap=march_cap, baked=baked)
+            app_cap=app_cap, app_pair_cap=tile // 4,
+            march_cap=march_cap, baked=baked)
         mf = m.astype(nerv.dtype)
         return nerv * mf, ind * mf[..., None]
 
