@@ -76,6 +76,37 @@ def sample_ray_equally(rays_o, rays_d, aabb, vis_near: float, vis_far: float,
     return xyz, z_vals, valid
 
 
+def sample_ray_ndc(rays_o, rays_d, aabb, near: float, far: float,
+                   n_samples: int, key=None):
+    """NDC-space marching: uniform samples in [near, far] with optional
+    per-sample jitter (sample_ray_ndc, tensorBase_rotated_lights.py:694-703).
+    """
+    N = rays_o.shape[0]
+    interpx = jnp.linspace(near, far, n_samples, dtype=rays_o.dtype)[None, :]
+    if key is not None:
+        interpx = interpx + jax.random.uniform(
+            key, (N, n_samples), dtype=rays_o.dtype) * ((far - near) / n_samples)
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * interpx[..., None]
+    valid = jnp.all((xyz >= aabb[0]) & (xyz <= aabb[1]), axis=-1)
+    return xyz, jnp.broadcast_to(interpx, (N, n_samples)), valid
+
+
+def ndc_rays_blender(h: int, w: int, focal: float, near: float,
+                     rays_o, rays_d):
+    """Blender-convention NDC warp (dataLoader/ray_utils.py:91-108)."""
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+    o0 = -1.0 / (w / (2.0 * focal)) * rays_o[..., 0] / rays_o[..., 2]
+    o1 = -1.0 / (h / (2.0 * focal)) * rays_o[..., 1] / rays_o[..., 2]
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+    d0 = -1.0 / (w / (2.0 * focal)) * (
+        rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2])
+    d1 = -1.0 / (h / (2.0 * focal)) * (
+        rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2])
+    d2 = -2.0 * near / rays_o[..., 2]
+    return (jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1))
+
+
 def z_to_dists(z_vals):
     """Consecutive sample spacing with trailing zero
     (tensorBase_rotated_lights.py:887)."""

@@ -34,7 +34,8 @@ def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
                           second_near: float = 0.05, second_far: float = 1.5,
                           acc_mask_threshold: float = 0.5,
                           vis_tile: int = 16384,
-                          vis_equation: str = "nerv"):
+                          vis_equation: str = "nerv",
+                          roughness_scale: float = 1.0):
     """Jitted per-chunk relight under one held-out light.
 
     Returns fn(params, scene, rays, key, rescale3) ->
@@ -58,7 +59,9 @@ def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
         surface_xyz = rays_o + out["depth_map"][:, None] * rays_d
         normal = out["normal_map"]
         albedo = out["albedo_map"] * rescale3
-        roughness = out["roughness_map"]
+        # material editing hook: scale the decoded roughness
+        roughness = jnp.clip(out["roughness_map"] * roughness_scale,
+                             0.0, 1.0)
         fresnel = out["fresnel_map"]
 
         # per-point importance samples (512/pt, scripts/relight_importance.py:119)
