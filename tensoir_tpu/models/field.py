@@ -163,6 +163,8 @@ def init_field_params(key, cfg: FieldConfig, grid_size, aabb,
         # jitted forward has a static structure before the first
         # updateAlphaMask (the reference branches on alphaMask is None).
         "alpha_volume": jnp.ones((2, 2, 2), jnp.float32),
+        # extra-dilated copy for 1-gather nearest-neighbor culling
+        "alpha_volume_dilated": jnp.ones((2, 2, 2), jnp.uint8),
         "alpha_aabb": jnp.asarray(aabb, jnp.float32).reshape(2, 3),
         "has_alpha_mask": jnp.asarray(0.0, jnp.float32),
     }
@@ -447,6 +449,29 @@ def sample_alpha_mask(scene: Dict, xyz):
     norm = (xyz - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
     vals = trilerp_volume(scene["alpha_volume"], norm)
     return jnp.where(scene["has_alpha_mask"] > 0, vals, jnp.ones_like(vals))
+
+
+def sample_alpha_mask_nearest(scene: Dict, xyz):
+    """ONE-gather occupancy test on the extra-dilated mask.
+
+    Nearest-neighbor lookup of a mask dilated one voxel beyond the stored
+    one: for any point, nearest(dilated) >= trilinear(original) > 0, so
+    culling with it keeps a SUPERSET of the samples the reference keeps —
+    exactness is preserved as long as the kept samples are still gated by
+    the exact trilinear mask. Returns bool [...].
+    """
+    aabb = scene["alpha_aabb"]
+    vol = scene["alpha_volume_dilated"]
+    D, H, W = vol.shape
+    norm = (xyz - aabb[0]) / (aabb[1] - aabb[0])
+    fx = jnp.clip(jnp.round(norm[..., 0] * (W - 1)), 0, W - 1)
+    fy = jnp.clip(jnp.round(norm[..., 1] * (H - 1)), 0, H - 1)
+    fz = jnp.clip(jnp.round(norm[..., 2] * (D - 1)), 0, D - 1)
+    idx = (fz.astype(jnp.int32) * H + fy.astype(jnp.int32)) * W \
+        + fx.astype(jnp.int32)
+    vals = jnp.take(vol.reshape(-1), idx, axis=0)
+    return jnp.where(scene["has_alpha_mask"] > 0, vals > 0,
+                     jnp.ones_like(vals, bool))
 
 
 def compute_alpha_grid(cfg: FieldConfig, params: Dict, scene: Dict,

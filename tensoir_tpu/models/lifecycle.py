@@ -108,7 +108,13 @@ def update_alpha_mask(cfg: F.FieldConfig, params: Dict, scene: Dict,
     scene = dict(scene)
     # storage layout [D=gz, H=gy, W=gx] for (x, y, z) trilinear queries
     # (reference transposes before wrapping in AlphaGridMask, tensorBase:759-768)
-    scene["alpha_volume"] = jnp.asarray(np.transpose(alpha, (2, 1, 0)))
+    vol = np.transpose(alpha, (2, 1, 0))
+    scene["alpha_volume"] = jnp.asarray(vol)
+    # one extra 3x3x3 dilation: nearest-neighbor culling on this volume is a
+    # superset of the reference's trilinear > 0 test (field.py:
+    # sample_alpha_mask_nearest)
+    scene["alpha_volume_dilated"] = jnp.asarray(
+        _maxpool3(vol).astype(np.uint8))
     scene["alpha_aabb"] = jnp.asarray(aabb, jnp.float32)
     scene["has_alpha_mask"] = jnp.asarray(1.0, jnp.float32)
     return scene, new_aabb

@@ -115,20 +115,23 @@ def render_rays(
         key=k_march if is_train else None)
     dists = z_to_dists(z_vals)
 
-    # alpha-mask cull (tensorBase_rotated_lights.py:892-897)
-    alphas = F.sample_alpha_mask(scene, xyz)
-    ray_valid = ray_valid & (alphas > 0)
-
     coords = F.normalize_coord(aabb, xyz)                      # [B, S, 3]
 
-    # occupancy-culled marching: evaluate the VM field only on the first
-    # march_cap occupied samples per ray (exact under the reference's own
-    # alpha-mask culling; see select_occupied_samples)
+    # occupancy-culled marching: ONE-gather nearest test on the dilated mask
+    # selects the first march_cap candidate samples per ray; the exact
+    # 8-gather trilinear mask (tensorBase_rotated_lights.py:892-897) then
+    # gates only the kept samples — a strict superset of the reference's
+    # culling, so results are identical (see select_occupied_samples)
     if 0 < march_cap < n_samples:
-        midx, ray_valid = select_occupied_samples(ray_valid, march_cap)
+        occ = F.sample_alpha_mask_nearest(scene, xyz)
+        midx, ray_valid = select_occupied_samples(ray_valid & occ, march_cap)
         coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
         z_vals = jnp.take_along_axis(z_vals, midx, axis=1)
         dists = jnp.take_along_axis(dists, midx, axis=1)
+        xyz_sel = jnp.take_along_axis(xyz, midx[..., None], axis=1)
+        ray_valid = ray_valid & (F.sample_alpha_mask(scene, xyz_sel) > 0)
+    else:
+        ray_valid = ray_valid & (F.sample_alpha_mask(scene, xyz) > 0)
 
     # density — dense masked compute on the (possibly culled) sample set
     sigma_feat = F.density_feature(cfg, params, coords)

@@ -64,12 +64,16 @@ def compute_radiance(
         feat = F.density_feature_packed(baked, coords)
         sigma = jnp.where(valid, F.feature2density(cfg, feat), 0.0)
     else:
-        alphas = F.sample_alpha_mask(scene, xyz)
-        valid = valid & (alphas > 0)
         if 0 < march_cap < n_sample:
-            midx, valid = primary.select_occupied_samples(valid, march_cap)
+            occ = F.sample_alpha_mask_nearest(scene, xyz)
+            midx, valid = primary.select_occupied_samples(valid & occ,
+                                                          march_cap)
             coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
             dists = jnp.take_along_axis(dists, midx, axis=1)
+            xyz_sel = jnp.take_along_axis(xyz, midx[..., None], axis=1)
+            valid = valid & (F.sample_alpha_mask(scene, xyz_sel) > 0)
+        else:
+            valid = valid & (F.sample_alpha_mask(scene, xyz) > 0)
         sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     alpha, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
 
@@ -150,12 +154,16 @@ def compute_transmittance(
         sigma = jnp.where(valid, F.feature2density(
             cfg, F.density_feature_packed(baked, coords)), 0.0)
     else:
-        alphas = F.sample_alpha_mask(scene, xyz)
-        valid = valid & (alphas > 0)
         if 0 < march_cap < n_sample:
-            midx, valid = primary.select_occupied_samples(valid, march_cap)
+            occ = F.sample_alpha_mask_nearest(scene, xyz)
+            midx, valid = primary.select_occupied_samples(valid & occ,
+                                                          march_cap)
             coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
             dists = jnp.take_along_axis(dists, midx, axis=1)
+            xyz_sel = jnp.take_along_axis(xyz, midx[..., None], axis=1)
+            valid = valid & (F.sample_alpha_mask(scene, xyz_sel) > 0)
+        else:
+            valid = valid & (F.sample_alpha_mask(scene, xyz) > 0)
         sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     _, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
     return transmittance[..., 0], 1.0 - jnp.sum(weight, -1)
