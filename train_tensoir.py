@@ -132,14 +132,22 @@ def main(argv=None):
         if it % (cfg.progress_refresh_rate * 10) == 0 else None)
 
     if cfg.render_test:
-        results = evaluation_iter(
-            result.fcfg, result.params, result.scene, test_dataset,
-            n_samples=result.n_samples,
-            save_path=os.path.join(logfolder, "imgs_test_all"),
-            chunk=cfg.batch_size_test, test_all=True,
-            second_n_sample=cfg.second_nSample,
-            secondary_tile=cfg.secondary_tile)
-        print(f"======> {cfg.expname} test all: {results}")
+        # general multi-light: evaluate each learned light separately with
+        # per-light output dirs (train_tensoIR_general_multi_lights.py's
+        # final-eval loop); other settings evaluate light 0
+        light_indices = (range(cfg.light_num) if cfg.light_name_list
+                         else [0])
+        for li in light_indices:
+            suffix = f"_light{li}" if cfg.light_name_list else ""
+            results = evaluation_iter(
+                result.fcfg, result.params, result.scene, test_dataset,
+                n_samples=result.n_samples,
+                save_path=os.path.join(logfolder, f"imgs_test_all{suffix}"),
+                chunk=cfg.batch_size_test, test_all=True,
+                second_n_sample=cfg.second_nSample,
+                secondary_tile=cfg.secondary_tile,
+                light_idx_to_test=li)
+            print(f"======> {cfg.expname} test all{suffix}: {results}")
 
 
 if __name__ == "__main__":
