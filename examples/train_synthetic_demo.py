@@ -1,0 +1,110 @@
+"""Flagship end-to-end demo: full inverse rendering on the procedural
+shadow scene (sphere over a disc, analytic GT with cast shadows).
+
+Runs the complete TensoIR pipeline — radiance pretrain, alpha-mask /
+shrink / upsample lifecycle, BRDF + normals + secondary-visibility
+relighting phase — and reports novel-view PSNR, BRDF PSNR, normal MAE and
+albedo PSNR against the analytic ground truth.
+
+Usage:  python examples/train_synthetic_demo.py [--iters 5000] [--out DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=5000)
+    parser.add_argument("--out", type=str, default="./log/synthetic_demo")
+    parser.add_argument("--img", type=int, default=128)
+    parser.add_argument("--views", type=int, default=24)
+    parser.add_argument("--batch", type=int, default=4096)
+    args = parser.parse_args(argv)
+
+    from tensoir_tpu.config import TensoIRConfig
+    from tensoir_tpu.data.synthetic import SyntheticShadowDataset
+    from tensoir_tpu.render.eval import evaluation_iter
+    from tensoir_tpu.train.loop import reconstruction
+
+    it = args.iters
+    cfg = TensoIRConfig(
+        expname="synthetic_demo",
+        basedir=args.out,
+        n_iters=it,
+        batch_size=args.batch,
+        lr_decay_iters=it,
+        N_voxel_init=64 ** 3,
+        N_voxel_final=160 ** 3,
+        upsamp_list=(int(it * 0.24), int(it * 0.52)),
+        update_AlphaMask_list=(int(it * 0.24), int(it * 0.36), int(it * 0.6)),
+        n_lamb_sigma=(16, 16, 16),
+        n_lamb_sh=(48, 48, 48),
+        shadingMode="MLP_Fea",
+        normals_kind="derived_plus_predicted",
+        light_kind="sg",
+        numLgtSGs=128,
+        envmap_h=8,
+        envmap_w=16,
+        second_nSample=96,
+        light_rotation=("000",),
+        rgb_brdf_weight=0.2,
+        normals_diff_weight=0.0005,
+        normals_orientation_weight=0.001,
+        albedo_smoothness_loss_weight=0.001,
+        roughness_smoothness_loss_weight=0.001,
+        L1_weight_inital=8e-5,
+        L1_weight_rest=4e-5,
+        TV_weight_density=0.05,
+        TV_weight_app=0.005,
+        Ortho_weight=0.0,
+        app_cap_per_ray=32,
+        march_cap_primary=192,
+        march_cap_secondary=32,
+        relight_ray_cap=512,
+        secondary_tile=32768,
+        vis_every=0,
+        N_vis=0,
+        save_iters=0,
+        progress_refresh_rate=50,
+    )
+
+    train_ds = SyntheticShadowDataset(split="train", n_views=args.views,
+                                      img_wh=(args.img, args.img))
+    test_ds = SyntheticShadowDataset(split="test", n_views=4,
+                                     img_wh=(args.img, args.img))
+
+    t0 = time.time()
+    result = reconstruction(
+        cfg, train_ds, log_dir=args.out,
+        progress_cb=lambda i, m: print(
+            f"it {i:05d} psnr {m.get('psnr', 0):.2f} "
+            f"brdf {m.get('loss_rgb_brdf', 0):.5f} "
+            f"elapsed {m['elapsed_s']:.0f}s", flush=True))
+    train_time = time.time() - t0
+    print(f"training done in {train_time:.0f}s", flush=True)
+
+    metrics = evaluation_iter(
+        result.fcfg, result.params, result.scene, test_ds,
+        n_samples=result.n_samples,
+        save_path=os.path.join(args.out, "eval"),
+        chunk=4096, test_all=True, compute_extra_metrics=True,
+        second_n_sample=cfg.second_nSample,
+        secondary_tile=cfg.secondary_tile)
+    metrics["train_time_s"] = train_time
+    metrics["iters"] = it
+    print(json.dumps(metrics, indent=2), flush=True)
+    with open(os.path.join(args.out, "final_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,3 +58,27 @@ def look_at(eye, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)) -> np.ndarray:
     true_up = np.cross(right, forward)
     c2w = np.stack([right, true_up, -forward, eye], axis=1)  # [3, 4]
     return c2w.astype(np.float32)
+
+
+def read_pfm(filename):
+    """Portable FloatMap reader (dataLoader/ray_utils.py:232-267)."""
+    import re as _re
+    with open(filename, "rb") as f:
+        header = f.readline().decode("utf-8").rstrip()
+        if header == "PF":
+            color = True
+        elif header == "Pf":
+            color = False
+        else:
+            raise ValueError("Not a PFM file.")
+        dim_match = _re.match(r"^(\d+)\s(\d+)\s$",
+                              f.readline().decode("utf-8"))
+        if not dim_match:
+            raise ValueError("Malformed PFM header.")
+        width, height = map(int, dim_match.groups())
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        scale = abs(scale)
+        data = np.fromfile(f, endian + "f")
+    shape = (height, width, 3) if color else (height, width)
+    return np.flipud(data.reshape(shape)), scale

@@ -114,6 +114,84 @@ class SyntheticSphereDataset:
     def __len__(self):
         return self.n_views
 
+
+class SyntheticShadowDataset(SyntheticSphereDataset):
+    """Sphere hovering over a disc — casts an analytic shadow.
+
+    Exercises the full inverse-rendering stack (geometry + normals + albedo
+    + VISIBILITY): the ground-truth shader traces a shadow ray from every
+    surface point toward the light through the sphere. Serves as the
+    flagship end-to-end demo in the absence of the TensoIR-Synthetic data.
+    """
+
+    SPHERE_C = np.array([0.0, 0.0, 0.1], np.float32)
+    SPHERE_R = 0.45
+    PLANE_Z = -0.6
+    DISC_R = 1.15
+    PLANE_ALBEDO = np.array([0.75, 0.75, 0.7], np.float32)
+
+    def _render_gt(self, rays_o, rays_d):
+        hit_s, t_s = _sphere_hit(rays_o, rays_d, self.SPHERE_C, self.SPHERE_R)
+        # plane z = PLANE_Z within DISC_R
+        dz = rays_d[:, 2]
+        t_p = np.where(np.abs(dz) > 1e-8,
+                       (self.PLANE_Z - rays_o[:, 2]) / dz, -1.0)
+        p_pts = rays_o + t_p[:, None] * rays_d
+        hit_p = (t_p > 0) & (np.linalg.norm(p_pts[:, :2], axis=-1)
+                             < self.DISC_R)
+
+        t_s = np.where(hit_s, t_s, np.inf)
+        t_p = np.where(hit_p, t_p, np.inf)
+        use_s = t_s < t_p
+        hit = hit_s | hit_p
+        t = np.where(use_s, t_s, t_p)
+        t = np.where(hit, t, 0.0)
+
+        pts = rays_o + t[:, None] * rays_d
+        n_s = pts - self.SPHERE_C
+        n_s = n_s / np.maximum(np.linalg.norm(n_s, axis=-1, keepdims=True),
+                               1e-8)
+        n_p = np.broadcast_to(np.array([0.0, 0.0, 1.0], np.float32),
+                              n_s.shape)
+        normal = np.where(use_s[:, None], n_s, n_p)
+        albedo = np.where(use_s[:, None], self.albedo[None],
+                          self.PLANE_ALBEDO[None])
+
+        # shadow ray toward the light (only the sphere occludes)
+        shadow_o = pts + normal * 1e-4
+        occ, t_occ = _sphere_hit(shadow_o, np.broadcast_to(
+            self.light_dir, shadow_o.shape), self.SPHERE_C, self.SPHERE_R)
+        lit = ~occ
+
+        lambert = np.clip(np.sum(normal * self.light_dir, -1), 0, None)
+        shade = self.ambient + (1 - self.ambient) * lambert * lit
+        rgb = albedo * shade[:, None]
+        rgb = np.where(hit[:, None], rgb, 1.0).astype(np.float32)
+        normal = np.where(hit[:, None], normal, 0.0).astype(np.float32)
+        depth = np.where(hit, t, 0.0).astype(np.float32)
+        return rgb, normal, depth, hit.astype(np.float32)
+
+    def __getitem__(self, k: int):
+        item = super().__getitem__(k)
+        v = self.view(k)
+        n = v["rays"].shape[0]
+        # per-pixel GT albedo (sphere vs plane)
+        rays_o, rays_d = v["rays"][:, :3], v["rays"][:, 3:6]
+        hit_s, t_s = _sphere_hit(rays_o, rays_d, self.SPHERE_C, self.SPHERE_R)
+        dz = rays_d[:, 2]
+        t_p = np.where(np.abs(dz) > 1e-8,
+                       (self.PLANE_Z - rays_o[:, 2]) / dz, -1.0)
+        p_pts = rays_o + t_p[:, None] * rays_d
+        hit_p = (t_p > 0) & (np.linalg.norm(p_pts[:, :2], axis=-1)
+                             < self.DISC_R)
+        t_s = np.where(hit_s, t_s, np.inf)
+        t_p = np.where(hit_p, t_p, np.inf)
+        use_s = t_s < t_p
+        albedo = np.where(use_s[:, None], self.albedo[None],
+                          self.PLANE_ALBEDO[None]).astype(np.float32)
+        item["albedo"] = np.where(v["masks"][:, None] > 0, albedo, 1.0)
+        return item
+
     def __getitem__(self, k: int):
         """Test-item dict matching the TensoIR loader contract."""
         v = self.view(k)

@@ -189,3 +189,37 @@ def filter_rays_bbox(all_rays: np.ndarray, aabb) -> np.ndarray:
     t_min = np.minimum(rate_a, rate_b).max(-1)
     t_max = np.maximum(rate_a, rate_b).min(-1)
     return t_max > t_min
+
+
+def filter_rays_mask(cfg: F.FieldConfig, scene: Dict, all_rays: np.ndarray,
+                     n_samples: int = 256, chunk: int = 51200) -> np.ndarray:
+    """Alpha-mask-occupancy ray filter (the bbox_only=False mode,
+    tensorBase_rotated_lights.py:802-804): keep rays whose samples hit any
+    occupied voxel. Chunked on the host."""
+    import jax
+    import jax.numpy as jnp
+    from tensoir_tpu.ops.rays import sample_ray
+
+    aabb = jnp.asarray(scene["aabb"])
+    grid = np.asarray(scene["alpha_volume"].shape)
+    step = F.step_size(aabb, tuple(int(g) for g in grid[::-1]),
+                       cfg.step_ratio)
+
+    @jax.jit
+    def chunk_mask(rays):
+        xyz, _, valid = sample_ray(rays[:, :3], rays[:, 3:6], aabb,
+                                   cfg.near_far[0], cfg.near_far[1], step,
+                                   n_samples, key=None)
+        occ = F.sample_alpha_mask(scene, xyz) > 0
+        return jnp.any(occ & valid, axis=-1)
+
+    out = []
+    n = all_rays.shape[0]
+    for start in range(0, n, chunk):
+        r = all_rays[start:start + chunk]
+        pad = chunk - r.shape[0]
+        if pad:
+            r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
+        out.append(np.asarray(chunk_mask(jnp.asarray(r)))[:chunk - pad
+                                                          if pad else chunk])
+    return np.concatenate(out)[:n]
