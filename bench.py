@@ -30,6 +30,8 @@ BASELINE_RAYS_PER_S = 1.5e6
 def main():
     import jax
     import jax.numpy as jnp
+    from tensoir_tpu.utils.compile_cache import enable as _cc
+    _cc()
 
     from tensoir_tpu.models.field import FieldConfig, init_field_params
     from tensoir_tpu.train.optim import make_optimizer

@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=4096)
     args = parser.parse_args(argv)
 
+    from tensoir_tpu.utils.compile_cache import enable as _cc
+    _cc()
     from tensoir_tpu.config import TensoIRConfig
     from tensoir_tpu.data.synthetic import SyntheticShadowDataset
     from tensoir_tpu.render.eval import evaluation_iter

@@ -87,3 +87,32 @@ def test_radiance_training_improves_psnr():
     # push well past it
     assert last_psnr > first_psnr + 4.0, (first_psnr, last_psnr)
     assert last_psnr > 14.0, (first_psnr, last_psnr)
+
+
+def test_lr_decay_matches_reference_schedule():
+    """lr(t) = lr0 * ratio^(t/decay_iters) applied multiplicatively per step
+    (train_tensoIR.py:197-201,379-381)."""
+    import optax
+    from tensoir_tpu.train.optim import make_optimizer, decay_factor
+
+    params = {"density_plane_0": jnp.ones((4, 4, 2)),
+              "basis_mat": jnp.ones((2, 2)),
+              "light_line": jnp.ones((1, 2))}
+    factor = decay_factor(0.1, 1000, 1000)
+    opt = make_optimizer(params, 0.02, 1e-3, factor)
+    state = opt.init(params)
+
+    grads = jax.tree.map(jnp.ones_like, params)
+    # first step: adam update magnitude ~ lr * factor^0 ... but
+    # scale_by_schedule uses the step BEFORE increment (count starts at 0)
+    updates, state = opt.update(grads, state, params)
+    # adam's first normalized update is ~1 in magnitude -> update ~ -lr
+    np.testing.assert_allclose(
+        np.asarray(updates["density_plane_0"])[0, 0, 0], -0.02, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(updates["basis_mat"])[0, 0], -1e-3, rtol=1e-2)
+    # after 1000 steps the schedule factor is ratio^(1000/1000) = 0.1
+    for _ in range(999):
+        updates, state = opt.update(grads, state, params)
+    np.testing.assert_allclose(
+        np.asarray(updates["density_plane_0"])[0, 0, 0], -0.002, rtol=2e-2)

@@ -69,6 +69,8 @@ def main(argv=None):
 
     import jax
     from tensoir_tpu.models.field import grid_size_of
+    from tensoir_tpu.utils.compile_cache import enable as _cc
+    _cc()
     from tensoir_tpu.models import lifecycle as LC
     from tensoir_tpu.render.eval import evaluation_iter
     from tensoir_tpu.utils.ckpt import load_checkpoint
