@@ -50,10 +50,19 @@ class SyntheticSphereDataset:
                                    np.float32)
         self.radius = radius
         self.albedo = np.asarray(albedo, np.float32)
-        self.light_dir = np.asarray(light_dir, np.float32)
-        self.light_dir /= np.linalg.norm(self.light_dir)
+        base_dir = np.asarray(light_dir, np.float64)
+        base_dir /= np.linalg.norm(base_dir)
         self.ambient = ambient
         self.light_num = light_num
+        # multi-light: azimuthal rotations of the base light, emulating the
+        # rotated-lights capture setting
+        self.light_dirs = []
+        for li in range(light_num):
+            a = 2 * np.pi * li / max(light_num, 1)
+            rot = np.array([[np.cos(a), -np.sin(a), 0],
+                            [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+            self.light_dirs.append((rot @ base_dir).astype(np.float32))
+        self.light_dir = self.light_dirs[0]
 
         w, h = img_wh
         focal = 0.5 * w / np.tan(0.5 * 0.69)  # ~40deg fov
@@ -61,7 +70,7 @@ class SyntheticSphereDataset:
 
         rng = np.random.default_rng(seed)
         phase = 0.0 if split == "train" else 0.5 * np.pi / n_views
-        rays, rgbs, normals, depths, masks = [], [], [], [], []
+        rays, rgbs, normals, depths, masks, lidx = [], [], [], [], [], []
         for k in range(n_views):
             ang = 2 * np.pi * k / n_views + phase
             z = 1.2 + 0.8 * np.sin(ang * 1.7)
@@ -70,20 +79,25 @@ class SyntheticSphereDataset:
             eye = eye / np.linalg.norm(eye) * cam_radius
             c2w = look_at(eye)
             o, d = get_rays(directions, c2w)
-            rgb, nrm, dep, msk = self._render_gt(o, d)
-            rays.append(np.concatenate([o, d], -1))
-            rgbs.append(rgb)
-            normals.append(nrm)
-            depths.append(dep)
-            masks.append(msk)
+            for li in range(light_num):
+                self.light_dir = self.light_dirs[li]
+                rgb, nrm, dep, msk = self._render_gt(o, d)
+                rays.append(np.concatenate([o, d], -1))
+                rgbs.append(rgb)
+                normals.append(nrm)
+                depths.append(dep)
+                masks.append(msk)
+                lidx.append(np.full((rgb.shape[0], 1), li, np.int32))
+        self.light_dir = self.light_dirs[0]
 
         self.all_rays = np.concatenate(rays, 0)
         self.all_rgbs = np.concatenate(rgbs, 0)
         self.all_normals = np.concatenate(normals, 0)
         self.all_depths = np.concatenate(depths, 0)
         self.all_masks = np.concatenate(masks, 0)
-        self.all_light_idx = np.zeros((self.all_rays.shape[0], 1), np.int32)
+        self.all_light_idx = np.concatenate(lidx, 0)
         self.n_views = n_views
+        self._per_view = light_num
 
     def _render_gt(self, rays_o, rays_d):
         hit, t = _sphere_hit(rays_o, rays_d, np.zeros(3), self.radius)
@@ -98,11 +112,12 @@ class SyntheticSphereDataset:
         depth = np.where(hit, t, 0.0).astype(np.float32)
         return rgb, normal, depth, hit.astype(np.float32)
 
-    def view(self, k: int):
-        """Per-view slices (stacked layout for eval tests)."""
+    def view(self, k: int, light: int = 0):
+        """Per-(view, light) slices (stacked layout for eval tests)."""
         w, h = self.img_wh
         n = w * h
-        sl = slice(k * n, (k + 1) * n)
+        base = (k * self._per_view + light) * n
+        sl = slice(base, base + n)
         return {
             "rays": self.all_rays[sl],
             "rgbs": self.all_rgbs[sl],
@@ -113,6 +128,31 @@ class SyntheticSphereDataset:
 
     def __len__(self):
         return self.n_views
+
+    def __getitem__(self, k: int):
+        """Test-item dict matching the TensoIR loader contract
+        (rgbs stacked per light, [light_num, H*W, 3])."""
+        v = self.view(k)
+        n = v["rays"].shape[0]
+        rgbs = np.stack(
+            [self.view(k, li)["rgbs"] for li in range(self.light_num)], 0)
+        lidx = np.stack(
+            [np.full((n, 1), li, np.int32)
+             for li in range(self.light_num)], 0)
+        albedo = np.broadcast_to(self.albedo, (n, 3)).copy()
+        albedo = np.where(v["masks"][:, None] > 0, albedo, 1.0).astype(
+            np.float32)
+        return {
+            "img_wh": self.img_wh,
+            "light_idx": lidx,
+            "rgbs": rgbs,
+            "rgbs_mask": v["masks"].astype(bool).reshape(-1, 1),
+            "albedo": albedo,
+            "rays": v["rays"],
+            "normals": np.where(v["masks"][:, None] > 0, v["normals"],
+                                np.array([0.0, 0.0, 1.0],
+                                         np.float32)).astype(np.float32),
+        }
 
 
 class SyntheticShadowDataset(SyntheticSphereDataset):
@@ -191,22 +231,3 @@ class SyntheticShadowDataset(SyntheticSphereDataset):
                           self.PLANE_ALBEDO[None]).astype(np.float32)
         item["albedo"] = np.where(v["masks"][:, None] > 0, albedo, 1.0)
         return item
-
-    def __getitem__(self, k: int):
-        """Test-item dict matching the TensoIR loader contract."""
-        v = self.view(k)
-        n = v["rays"].shape[0]
-        albedo = np.broadcast_to(self.albedo, (n, 3)).copy()
-        albedo = np.where(v["masks"][:, None] > 0, albedo, 1.0).astype(
-            np.float32)
-        return {
-            "img_wh": self.img_wh,
-            "light_idx": np.zeros((1, n, 1), np.int32),
-            "rgbs": v["rgbs"][None],
-            "rgbs_mask": v["masks"].astype(bool).reshape(-1, 1),
-            "albedo": albedo,
-            "rays": v["rays"],
-            "normals": np.where(v["masks"][:, None] > 0, v["normals"],
-                                np.array([0.0, 0.0, 1.0],
-                                         np.float32)).astype(np.float32),
-        }

@@ -236,6 +236,9 @@ def reconstruction(
                     params = replicate(mesh, params)
                     scene = replicate(mesh, scene)
                     opt_state = replicate(mesh, opt_state)
+            elif mesh is not None:
+                # later mask refreshes keep shapes; re-replicate the scene
+                scene = replicate(mesh, scene)
             if len(update_am_list) > 1 and it == update_am_list[1]:
                 keep = LC.filter_rays_bbox(all_rays, np.asarray(scene["aabb"]))
                 rays_f, rgbs_f, lidx_f = (all_rays[keep], all_rgbs[keep],
