@@ -151,6 +151,13 @@ def sample_pdf(bins, weights, n_samples: int, key=None):
 
 def safe_l2_normalize(x, axis=-1, eps: float = 1e-6):
     """Matches F.normalize(p=2, eps=1e-6): x / max(||x||, eps)
-    (dataLoader/ray_utils.py:278-279)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    (dataLoader/ray_utils.py:278-279).
+
+    Gradient-safe at x = 0: sqrt is taken of max(|x|^2, eps^2), so the
+    backward pass is exactly zero there instead of NaN (d sqrt at 0 is inf;
+    zero vectors DO occur — derived normals of empty samples, grazing half
+    vectors — and a single NaN would poison every parameter via the loss).
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / norm

@@ -273,3 +273,22 @@ def test_sample_pdf_deterministic():
     s_np = np.asarray(s)
     assert (np.diff(s_np, axis=-1) >= -1e-6).all()
     assert (s_np >= 0).all() and (s_np <= 1).all()
+
+
+def test_safe_normalize_grad_finite_at_zero():
+    """Backward through normalize at exactly-zero vectors must be 0, not NaN
+    (zero vectors occur for empty samples' derived normals and grazing half
+    vectors; a single NaN would poison all parameters through the loss)."""
+    def f(x):
+        return jnp.sum(safe_l2_normalize(x) * jnp.asarray([1.0, 2.0, 3.0]))
+
+    g = jax.grad(f)(jnp.zeros((3,)))
+    assert np.isfinite(np.asarray(g)).all()
+
+    # mixed batch: one zero row, one normal row
+    def fb(x):
+        return jnp.sum(safe_l2_normalize(x, axis=-1))
+
+    x = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 2.0, 2.0]])
+    gb = jax.grad(fb)(x)
+    assert np.isfinite(np.asarray(gb)).all()
