@@ -30,6 +30,8 @@ BASELINE_RAYS_PER_S = 1.5e6
 def main():
     import jax
     import jax.numpy as jnp
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     from tensoir_tpu.utils.compile_cache import enable as _cc
     _cc()
 

@@ -20,6 +20,9 @@ def main(argv=None):
     parser.add_argument("--level", type=float, default=0.005)
     args = parser.parse_args(argv)
 
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+
     from tensoir_tpu.models.field import grid_size_of
     from tensoir_tpu.models.lifecycle import dense_alpha
     from tensoir_tpu.utils.ckpt import load_checkpoint

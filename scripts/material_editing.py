@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--chunk", type=int, default=1024)
     args = parser.parse_args(argv)
 
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+
     import jax
     import jax.numpy as jnp
     import imageio.v2 as imageio

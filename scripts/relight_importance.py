@@ -27,6 +27,9 @@ LIGHT_NAMES = ["bridge", "city", "fireplace", "forest", "night"]
 def main(argv=None):
     cfg = parse_cli(argv)
 
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+
     from tensoir_tpu.data import get_dataset
     from tensoir_tpu.models.env_light import EnvironmentLight
     from tensoir_tpu.models.field import grid_size_of

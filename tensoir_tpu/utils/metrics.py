@@ -6,7 +6,8 @@ import scipy.signal
 
 
 def mse2psnr(mse: float) -> float:
-    return float(-10.0 * np.log(mse) / np.log(10.0))
+    with np.errstate(divide="ignore"):  # mse == 0 -> inf, silently
+        return float(-10.0 * np.log(mse) / np.log(10.0))
 
 
 def psnr(img, gt) -> float:

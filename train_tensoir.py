@@ -68,6 +68,8 @@ def main(argv=None):
     cfg = parse_cli(argv)
 
     import jax
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     from tensoir_tpu.models.field import grid_size_of
     from tensoir_tpu.utils.compile_cache import enable as _cc
     _cc()
