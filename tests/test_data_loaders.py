@@ -152,3 +152,35 @@ def test_simple_loader(tmp_path):
     # all 3 frames kept (light_idx 0/1 < light_num 2)
     assert ds.all_rays.shape[0] == 3 * 256
     assert set(np.unique(ds.all_light_idx)) == {0, 1}
+
+
+def test_importance_sampling_distribution(tmp_path):
+    """Sampled texel frequencies must track the intensity*sin(theta) pdf
+    (the CDF-inversion replacement for torch.multinomial)."""
+    import jax
+    from tensoir_tpu.models.env_light import EnvironmentLight
+
+    rng = np.random.default_rng(0)
+    img = rng.random((8, 16, 3)).astype(np.float32)
+    img[2, 5] = 50.0  # one very bright texel
+    hdr_dir = os.path.join(tmp_path, "h")
+    os.makedirs(hdr_dir)
+    write_hdr(os.path.join(hdr_dir, "sun.hdr"), img)
+    env = EnvironmentLight(hdr_dir)
+
+    d, rgb, pdf = env.sample_light("sun", 1, 20000, jax.random.PRNGKey(0))
+    # the bright texel direction should dominate the draws; the pdf is
+    # computed from the RGBE round-tripped image the light table actually
+    # holds (quantized vs the original float img)
+    img_rt = np.asarray(env.rgbs["sun"])
+    bright_dir = np.asarray(env.dirs["sun"]).reshape(8, 16, 3)[2, 5]
+    hits = (np.linalg.norm(np.asarray(d)[0] - bright_dir, axis=-1) < 1e-5)
+    h_int = 1.0 / 8
+    sin_t = np.sin(np.linspace(0.5 * h_int, np.pi - 0.5 * h_int, 8))
+    p = img_rt.sum(-1) * sin_t[:, None]
+    expected_frac = p[2, 5] / p.sum()
+    assert abs(hits.mean() - expected_frac) < 0.02, (hits.mean(), expected_frac)
+    # returned pdf matches the analytic pdf_return at that texel
+    pdf_return = p / p.sum() * 8 * 16 / (2 * np.pi ** 2 * sin_t[:, None])
+    got_pdf = np.asarray(pdf)[0][hits][:, 0]
+    np.testing.assert_allclose(got_pdf, pdf_return[2, 5], rtol=1e-4)
