@@ -120,8 +120,18 @@ def reconstruction(
     gt_envmap = getattr(dataset, "lights_probes", None)
     if gt_envmap is not None and not isinstance(gt_envmap, np.ndarray):
         gt_envmap = None
-    params, scene = init_field_params(k_init, fcfg, reso_cur, aabb,
-                                      gt_envmap=gt_envmap)
+    if cfg.ckpt:
+        # resume from checkpoint: restores model weights + alpha mask; the
+        # schedule restarts, matching the reference (train_tensoIR.py:163-168)
+        from tensoir_tpu.utils.ckpt import load_checkpoint
+        fcfg, params, scene, _ = load_checkpoint(cfg.ckpt)
+        reso_cur = grid_size_of(params)
+        n_samples = min(cfg.nSamples,
+                        LC.cal_n_samples(reso_cur, cfg.step_ratio))
+        aabb = np.asarray(scene["aabb"])
+    else:
+        params, scene = init_field_params(k_init, fcfg, reso_cur, aabb,
+                                          gt_envmap=gt_envmap)
 
     lr_factor = decay_factor(cfg.lr_decay_target_ratio,
                              cfg.lr_decay_iters, n_iters)
