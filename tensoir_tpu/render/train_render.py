@@ -95,5 +95,11 @@ def render_train_batch(
     # unselected rays keep the white background (renderer.py:95)
     rgb_with_brdf = jnp.ones((B, 3), rgb_sel.dtype).at[sel].set(rgb_sel)
     ret["rgb_with_brdf_map"] = rgb_with_brdf
+    # rays whose rgb_with_brdf is meaningful for the loss: actually-relit
+    # surface rays, plus non-surface rays (white vs ~white GT — matches the
+    # reference, where EVERY acc_mask ray is relit). Capped-out surface rays
+    # must not contribute a bogus white-vs-GT penalty.
+    computed = jnp.zeros((B,), bool).at[sel].set(sel_valid)
+    ret["relight_computed_mask"] = computed | jnp.logical_not(acc_mask)
     ret["normal_map"] = normal_map
     return ret

@@ -107,7 +107,11 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         metrics["loss_tv_app"] = tv
 
     if st.is_relight:
-        loss_brdf = jnp.mean((ret["rgb_with_brdf_map"] - rgb_gt) ** 2)
+        # masked mean: surface rays dropped by relight_ray_cap are excluded
+        # (the reference relights every acc_mask ray, renderer.py:86-107)
+        rmask = ret["relight_computed_mask"][:, None].astype(rgb_gt.dtype)
+        loss_brdf = (jnp.sum(rmask * (ret["rgb_with_brdf_map"] - rgb_gt) ** 2)
+                     / jnp.maximum(jnp.sum(rmask) * 3.0, 1.0))
         total = total + loss_brdf * w.rgb_brdf
         metrics["loss_rgb_brdf"] = loss_brdf
 
