@@ -211,6 +211,54 @@ class SyntheticShadowDataset(SyntheticSphereDataset):
         depth = np.where(hit, t, 0.0).astype(np.float32)
         return rgb, normal, depth, hit.astype(np.float32)
 
+    def render_env_gt(self, rays: np.ndarray, env_map: np.ndarray
+                      ) -> np.ndarray:
+        """Exact relit image under a lat-long environment map.
+
+        The scene is lambertian, so the rendering equation reduces to
+        albedo/pi * sum_texel env * cos+ * visibility * domega — computable
+        in closed form per pixel (shadow visibility = ray/sphere test).
+        Ground truth for the relighting benchmark; white background.
+        """
+        from tensoir_tpu.models.lighting import envmap_dirs
+
+        H, W, _ = env_map.shape
+        area, dirs = envmap_dirs(H, W)          # area = 4*pi*sin/sum weights
+        dirs = dirs.astype(np.float64)          # [T, 3]
+        # solid angle per texel: (2pi/W)*(pi/H)*sin(colatitude)
+        lat_step = np.pi / H
+        lng_step = 2 * np.pi / W
+        phi = np.linspace(np.pi / 2 - 0.5 * lat_step,
+                          -np.pi / 2 + 0.5 * lat_step, H)
+        domega = (np.cos(phi)[:, None] * lat_step * lng_step
+                  ) @ np.ones((1, W))
+        domega = domega.reshape(-1)             # [T]
+
+        rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+        rgb, normal, depth, hit = self._render_gt(rays_o, rays_d)
+        pts = rays_o + depth[:, None] * rays_d
+        albedo = np.where(
+            (np.linalg.norm((pts - self.SPHERE_C), axis=-1)
+             < self.SPHERE_R + 1e-3)[:, None],
+            self.albedo[None], self.PLANE_ALBEDO[None])
+
+        out = np.ones_like(rgb)
+        idx = np.where(hit > 0)[0]
+        for start in range(0, idx.size, 4096):   # chunk the [P, T] blowup
+            ii = idx[start:start + 4096]
+            p = pts[ii]
+            n = normal[ii]
+            cos = np.clip(n @ dirs.T, 0.0, None)            # [P, T]
+            occ, _ = _sphere_hit(
+                np.repeat(p + n * 1e-4, dirs.shape[0], 0),
+                np.tile(dirs, (p.shape[0], 1)),
+                self.SPHERE_C, self.SPHERE_R)
+            vis = 1.0 - occ.reshape(p.shape[0], dirs.shape[0])
+            L = env_map.reshape(-1, 3)                       # [T, 3]
+            integ = (cos * vis * domega[None]) @ L           # [P, 3]
+            out[ii] = np.clip(albedo[ii] / np.pi * integ, 0.0, 1.0)
+        return out.astype(np.float32)
+
     def __getitem__(self, k: int):
         item = super().__getitem__(k)
         v = self.view(k)
