@@ -64,6 +64,11 @@ class TensoIRConfig:
     featureC: int = 128
 
     ckpt: Optional[str] = None
+    # Beyond-reference preemption recovery: when True and the checkpoint
+    # carries full train state (optimizer moments, iteration, schedule),
+    # resume exactly where training stopped instead of the reference's
+    # weights-only restart (train_tensoIR.py:163-168).
+    resume_full: bool = False
     render_only: int = 0
     render_test: int = 0
     test_number: int = 200

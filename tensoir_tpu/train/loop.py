@@ -120,15 +120,25 @@ def reconstruction(
     gt_envmap = getattr(dataset, "lights_probes", None)
     if gt_envmap is not None and not isinstance(gt_envmap, np.ndarray):
         gt_envmap = None
+    resume_state = None   # full-state resume payload (cfg.resume_full)
+    resume_opt_leaves = None
     if cfg.ckpt:
-        # resume from checkpoint: restores model weights + alpha mask; the
-        # schedule restarts, matching the reference (train_tensoIR.py:163-168)
+        # resume from checkpoint: restores model weights + alpha mask; by
+        # default the schedule restarts, matching the reference
+        # (train_tensoIR.py:163-168). With cfg.resume_full and a checkpoint
+        # that carries train state, training continues exactly where it
+        # stopped (optimizer moments, iteration, schedule, RNG).
         from tensoir_tpu.utils.ckpt import load_checkpoint
-        fcfg, params, scene, _ = load_checkpoint(cfg.ckpt)
+        fcfg, params, scene, ck_extra = load_checkpoint(cfg.ckpt)
         reso_cur = grid_size_of(params)
         n_samples = min(cfg.nSamples,
                         LC.cal_n_samples(reso_cur, cfg.step_ratio))
         aabb = np.asarray(scene["aabb"])
+        if cfg.resume_full and "train_state" in ck_extra:
+            resume_state = ck_extra["train_state"]
+            resume_opt_leaves = ck_extra.get("opt_leaves")
+            if "rng_key" in ck_extra:
+                key = jnp.asarray(ck_extra["rng_key"])
     else:
         params, scene = init_field_params(k_init, fcfg, reso_cur, aabb,
                                           gt_envmap=gt_envmap)
@@ -153,6 +163,24 @@ def reconstruction(
     l1_weight = cfg.L1_weight_inital
     tv_density, tv_app = cfg.TV_weight_density, cfg.TV_weight_app
     relight_start = (update_am_list[0] if update_am_list else 0)
+    cur_lr_scale = 1.0
+    start_it = 0
+
+    if resume_state is not None:
+        start_it = int(resume_state["iteration"])
+        relight = bool(resume_state["relight"])
+        l1_weight = float(resume_state["l1_weight"])
+        tv_density = float(resume_state["tv_density"])
+        tv_app = float(resume_state["tv_app"])
+        voxel_list = list(resume_state["voxel_list"])
+        cur_lr_scale = float(resume_state["lr_scale"])
+        if len(update_am_list) > 1 and start_it >= update_am_list[1]:
+            # rays were refiltered against the shrunk bbox before the save
+            keep = LC.filter_rays_bbox(all_rays, np.asarray(scene["aabb"]))
+            rays_f, rgbs_f, lidx_f = (all_rays[keep], all_rgbs[keep],
+                                      all_lidx[keep])
+        sampler = SimpleSampler(rays_f.shape[0], cfg.batch_size,
+                                seed=cfg.seed + start_it)
 
     def build_step(lr_scale: float):
         optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
@@ -183,7 +211,10 @@ def reconstruction(
             lr_factor=lr_factor)
         return make_train_step(fcfg, optimizer, st, w, mesh=mesh), opt_state
 
-    step_fn, opt_state = build_step(1.0)
+    step_fn, opt_state = build_step(cur_lr_scale)
+    if resume_opt_leaves is not None:
+        from tensoir_tpu.utils.ckpt import restore_opt_state
+        opt_state = restore_opt_state(opt_state, resume_opt_leaves)
     if mesh is not None:
         params = replicate(mesh, params)
         scene = replicate(mesh, scene)
@@ -196,9 +227,16 @@ def reconstruction(
     else:
         metrics_file = None
 
+    def train_state_extra(it: int) -> Dict:
+        return {"iteration": it, "train_state": {
+            "iteration": it, "relight": relight, "l1_weight": l1_weight,
+            "tv_density": tv_density, "tv_app": tv_app,
+            "voxel_list": [int(v) for v in voxel_list],
+            "lr_scale": float(cur_lr_scale)}}
+
     history = []
     t_start = time.time()
-    for it in range(n_iters):
+    for it in range(start_it, n_iters):
         ids = sampler.nextids()
         batch = {
             "rays": rays_f[ids],
@@ -241,7 +279,8 @@ def reconstruction(
                 reso_cur = grid_size_of(params)
                 n_samples = min(cfg.nSamples,
                                 LC.cal_n_samples(reso_cur, cfg.step_ratio))
-                step_fn, opt_state = build_step(1.0)
+                cur_lr_scale = 1.0
+                step_fn, opt_state = build_step(cur_lr_scale)
                 if mesh is not None:
                     params = replicate(mesh, params)
                     scene = replicate(mesh, scene)
@@ -262,9 +301,9 @@ def reconstruction(
             n_samples = min(cfg.nSamples,
                             LC.cal_n_samples(reso_cur, cfg.step_ratio))
             params = LC.upsample(jax.tree.map(jnp.asarray, params), reso_cur)
-            lr_scale = 1.0 if cfg.lr_upsample_reset else (
+            cur_lr_scale = 1.0 if cfg.lr_upsample_reset else (
                 cfg.lr_decay_target_ratio ** (it / n_iters))
-            step_fn, opt_state = build_step(lr_scale)
+            step_fn, opt_state = build_step(cur_lr_scale)
             if mesh is not None:
                 params = replicate(mesh, params)
                 scene = replicate(mesh, scene)
@@ -279,13 +318,17 @@ def reconstruction(
             save_checkpoint(os.path.join(log_dir, f"ckpt_{it}.npz"),
                             fcfg, jax.tree.map(np.asarray, params),
                             jax.tree.map(np.asarray, scene),
-                            extra={"iteration": it})
+                            extra=train_state_extra(it + 1),
+                            opt_state=jax.tree.map(np.asarray, opt_state),
+                            rng_key=np.asarray(key))
 
     if log_dir:
         save_checkpoint(os.path.join(log_dir, "ckpt_final.npz"),
                         fcfg, jax.tree.map(np.asarray, params),
                         jax.tree.map(np.asarray, scene),
-                        extra={"iteration": n_iters})
+                        extra=train_state_extra(n_iters),
+                        opt_state=jax.tree.map(np.asarray, opt_state),
+                        rng_key=np.asarray(key))
         if metrics_file:
             metrics_file.close()
 

@@ -30,9 +30,22 @@ def _flatten(tree: Dict, prefix: str, out: Dict[str, np.ndarray]):
 
 
 def save_checkpoint(path: str, cfg: FieldConfig, params: Dict, scene: Dict,
-                    extra: Optional[Dict[str, Any]] = None):
+                    extra: Optional[Dict[str, Any]] = None,
+                    opt_state: Any = None,
+                    rng_key: Optional[np.ndarray] = None):
+    """`opt_state`/`rng_key` are optional full-train-state payload (beyond
+    the reference's weights-only checkpoint): optimizer-state leaves are
+    stored by flatten order and restored into a freshly-initialized state of
+    identical structure (see `restore_opt_state`)."""
     arrays: Dict[str, np.ndarray] = {}
     _flatten(params, "params", arrays)
+    if opt_state is not None:
+        import jax
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        for i, leaf in enumerate(leaves):
+            arrays[f"opt/{i:05d}"] = np.asarray(leaf)
+    if rng_key is not None:
+        arrays["train/rng_key"] = np.asarray(rng_key)
 
     scene_np = {k: np.asarray(v) for k, v in scene.items()}
     alpha = scene_np.pop("alpha_volume")
@@ -65,6 +78,7 @@ def load_checkpoint(path: str) -> Tuple[FieldConfig, Dict, Dict, Dict]:
 
     params: Dict = {}
     scene: Dict = {}
+    opt_leaves: Dict[int, np.ndarray] = {}
     for key in data.files:
         if key == _HEADER_KEY:
             continue
@@ -76,6 +90,10 @@ def load_checkpoint(path: str) -> Tuple[FieldConfig, Dict, Dict, Dict]:
             node[parts[-1]] = data[key]
         elif parts[0] == "scene":
             scene[parts[1]] = data[key]
+        elif parts[0] == "opt":
+            opt_leaves[int(parts[1])] = data[key]
+        elif key == "train/rng_key":
+            pass  # surfaced below
 
     shape = tuple(int(s) for s in data["alpha/shape"])
     n = int(np.prod(shape))
@@ -87,4 +105,25 @@ def load_checkpoint(path: str) -> Tuple[FieldConfig, Dict, Dict, Dict]:
                   else {kk: jnp.asarray(vv) for kk, vv in v.items()})
               for k, v in params.items()}
     scene = {k: jnp.asarray(v) for k, v in scene.items()}
-    return cfg, params, scene, header["extra"]
+    extra = dict(header["extra"])
+    if opt_leaves:
+        extra["opt_leaves"] = [opt_leaves[i] for i in sorted(opt_leaves)]
+    if "train/rng_key" in data.files:
+        extra["rng_key"] = data["train/rng_key"]
+    return cfg, params, scene, extra
+
+
+def restore_opt_state(template_opt_state: Any, leaves) -> Any:
+    """Rebuild an optimizer state from saved leaves: `template_opt_state`
+    must be a freshly-initialized state for the same params/optimizer (its
+    tree structure defines the layout). Returns the template unchanged if
+    the leaf count differs (e.g. optimizer definition changed)."""
+    import jax
+    import jax.numpy as jnp
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    flat = jax.tree_util.tree_leaves(template_opt_state)
+    if len(flat) != len(leaves):
+        return template_opt_state
+    cast = [jnp.asarray(l, dtype=f.dtype) if hasattr(f, "dtype") else l
+            for l, f in zip(leaves, flat)]
+    return jax.tree_util.tree_unflatten(treedef, cast)

@@ -111,6 +111,62 @@ def test_reconstruction_loop_with_phases(tmp_path):
 
 
 @pytest.mark.slow
+def test_full_state_resume(tmp_path):
+    """Preemption recovery (beyond-reference): a checkpoint written mid-run
+    carries optimizer moments + iteration + schedule state, and
+    `resume_full=True` continues exactly where training stopped."""
+    import dataclasses
+
+    from tensoir_tpu.train.loop import reconstruction
+    from tensoir_tpu.utils.ckpt import load_checkpoint
+
+    ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
+    cfg = TensoIRConfig(
+        n_iters=30,
+        batch_size=128,
+        n_lamb_sigma=(4, 4, 4),
+        n_lamb_sh=(4, 4, 4),
+        data_dim_color=6,
+        featureC=32,
+        N_voxel_init=16 ** 3,
+        N_voxel_final=16 ** 3,
+        upsamp_list=(1000,),
+        update_AlphaMask_list=(1000,),
+        step_ratio=2.0,
+        nSamples=32,
+        numLgtSGs=16,
+        envmap_h=4, envmap_w=8,
+        vis_every=0,
+        save_iters=10,
+        N_vis=0,
+        progress_refresh_rate=5,
+    )
+    log_dir = os.path.join(tmp_path, "run_a")
+    reconstruction(cfg, ds, log_dir=log_dir)
+
+    ckpt_path = os.path.join(log_dir, "ckpt_20.npz")
+    assert os.path.exists(ckpt_path)
+    _, _, _, extra = load_checkpoint(ckpt_path)
+    assert extra["train_state"]["iteration"] == 21
+    assert "opt_leaves" in extra and len(extra["opt_leaves"]) > 0
+    assert "rng_key" in extra
+
+    cfg_b = dataclasses.replace(cfg, ckpt=ckpt_path, resume_full=True,
+                                save_iters=0)
+    log_b = os.path.join(tmp_path, "run_b")
+    result = reconstruction(cfg_b, ds, log_dir=log_b)
+    its = [m["iteration"] for m in result.metrics_history]
+    assert min(its) >= 21, "resume must continue, not restart"
+    assert np.isfinite(result.metrics_history[-1]["total_loss"])
+
+    # weights-only behavior (reference semantics) still the default
+    cfg_c = dataclasses.replace(cfg, ckpt=ckpt_path, save_iters=0,
+                                n_iters=5)
+    result_c = reconstruction(cfg_c, ds)
+    assert min(m["iteration"] for m in result_c.metrics_history) == 0
+
+
+@pytest.mark.slow
 def test_relight_benchmark_pipeline(tmp_path):
     """EnvironmentLight + importance-sampled relighting on a tiny model."""
     import jax
