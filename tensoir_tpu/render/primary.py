@@ -75,6 +75,45 @@ def select_occupied_samples(valid: jax.Array, cap: int):
     return idx, top > 0.0
 
 
+def select_occupied_samples_scatter(valid: jax.Array, cap: int):
+    """Same contract as select_occupied_samples, via cumsum + one scatter
+    instead of a [B, S] sort. Selection by ascending depth needs no ordering
+    by value, so a slot-assignment scatter (B*S rows) replaces top_k — on TPU
+    scatters are row-count-bound like gathers, while top_k lowers to a full
+    variadic sort over S. Exact under the same condition (<= cap occupied
+    samples per ray); overflow drops the DEEPEST samples, identical to the
+    top_k variant (scores there are descending in depth)."""
+    B, S = valid.shape
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1      # [B, S]
+    pos = jnp.where(valid & (pos < cap), pos, cap)             # cap = dump slot
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    idx = jnp.full((B, cap + 1), S - 1, jnp.int32)
+    idx = idx.at[jnp.arange(B)[:, None], pos].set(iota)
+    idx = idx[:, :cap]
+    count = jnp.sum(valid, axis=1)
+    sel_valid = jax.lax.broadcasted_iota(jnp.int32, (B, cap), 1) \
+        < count[:, None]
+    return idx, sel_valid
+
+
+def compact_nonzero(score: jax.Array, cap: int):
+    """Indices of the first `cap` entries with score > 0 (1-D compaction via
+    cumsum + scatter; the secondary pair-selection analog of
+    select_occupied_samples_scatter). Returns (idx [cap], valid [cap])."""
+    (N,) = score.shape
+    nz = score > 0
+    pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    pos = jnp.where(nz & (pos < cap), pos, cap)
+    # unfilled slots keep the out-of-range marker N: gathers through them
+    # clip (and are masked by `valid`); scatters through them must use
+    # mode='drop' so they can't alias a real row
+    idx = jnp.full((cap + 1,), N, jnp.int32).at[pos].set(
+        jnp.arange(N, dtype=jnp.int32))
+    count = jnp.sum(nz)
+    valid = jnp.arange(cap) < jnp.minimum(count, cap)
+    return idx[:cap], valid
+
+
 def _relative_smoothness(values, values_jitter):
     """sum(((v - vj)/max(v, vj))^2) (tensorBase_rotated_lights.py:858-863)."""
     base = jnp.clip(jnp.maximum(values, values_jitter), 1e-6, None)

@@ -38,6 +38,7 @@ def compute_radiance(
     app_pair_cap: int = 0,
     march_cap: int = 0,
     baked=None,
+    pair_select: str = "compact",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """March a secondary ray: (nerv_vis, nerfactor_vis, indirect_light).
 
@@ -89,8 +90,13 @@ def compute_radiance(
     pair_cap = app_pair_cap if 0 < app_pair_cap < N else N
     if pair_cap < N:
         ray_score = jnp.max(masked_w, axis=1)                    # [N]
-        pair_score, pair_idx = jax.lax.top_k(ray_score, pair_cap)
-        pair_valid = pair_score > 0.0
+        if pair_select == "compact":
+            # order-free selection: any pair with weight > thres, up to cap
+            # (cumsum+scatter beats the [N] sort top_k lowers to)
+            pair_idx, pair_valid = primary.compact_nonzero(ray_score, pair_cap)
+        else:
+            pair_score, pair_idx = jax.lax.top_k(ray_score, pair_cap)
+            pair_valid = pair_score > 0.0
         sub_w = jnp.take(masked_w, pair_idx, axis=0)
         sub_coords = jnp.take(coords, pair_idx, axis=0)
         sub_dirs = jnp.take(light_in_dir, pair_idx, axis=0)
@@ -121,7 +127,7 @@ def compute_radiance(
 
     if pair_idx is not None:
         indirect = jnp.zeros((N, 3), sub_indirect.dtype).at[pair_idx].set(
-            sub_indirect)
+            sub_indirect, mode="drop")
     else:
         indirect = sub_indirect
 

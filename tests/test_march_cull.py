@@ -93,3 +93,50 @@ def test_secondary_culled_matches_dense():
                                 march_cap=32)
     np.testing.assert_allclose(np.asarray(t_c[0]), np.asarray(t_d[0]),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_select_occupied_samples_scatter_matches_topk():
+    from tensoir_tpu.render.primary import select_occupied_samples_scatter
+    rng = np.random.default_rng(3)
+    valid = jnp.asarray(rng.random((64, 40)) < 0.2)
+    idx_t, sel_t = select_occupied_samples(valid, 16)
+    idx_s, sel_s = select_occupied_samples_scatter(valid, 16)
+    np.testing.assert_array_equal(np.asarray(sel_s), np.asarray(sel_t))
+    # selected indices agree wherever valid (dummy slots may differ)
+    np.testing.assert_array_equal(np.asarray(idx_s)[np.asarray(sel_s)],
+                                  np.asarray(idx_t)[np.asarray(sel_t)])
+    # overflow: both keep the shallowest `cap` samples
+    dense_valid = jnp.ones((4, 40), bool)
+    idx_t, sel_t = select_occupied_samples(dense_valid, 8)
+    idx_s, sel_s = select_occupied_samples_scatter(dense_valid, 8)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_t))
+    assert np.asarray(sel_s).all()
+
+
+def test_compact_nonzero():
+    from tensoir_tpu.render.primary import compact_nonzero
+    score = jnp.asarray(np.array([0.0, 0.5, 0.0, 2.0, 0.1, 0.0], np.float32))
+    idx, valid = compact_nonzero(score, 4)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    assert list(idx[valid]) == [1, 3, 4]
+    idx, valid = compact_nonzero(jnp.zeros((6,), jnp.float32), 4)
+    assert not np.asarray(valid).any()
+
+
+def test_pair_select_compact_matches_topk():
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (64, 3)).astype(np.float32))
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    lidx = jnp.zeros(64, jnp.int32)
+    out_t = compute_radiance(cfg, params, scene, pts, dirs, lidx,
+                             n_sample=48, app_cap=8, app_pair_cap=48,
+                             pair_select="topk")
+    out_c = compute_radiance(cfg, params, scene, pts, dirs, lidx,
+                             n_sample=48, app_cap=8, app_pair_cap=48,
+                             pair_select="compact")
+    for a, b, name in zip(out_c, out_t, ("nerv", "nerfactor", "indirect")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=name)
