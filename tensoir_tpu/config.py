@@ -147,6 +147,9 @@ class TensoIRConfig:
     # March secondary visibility rays against a per-step baked dense sigma
     # grid (pure einsum bake, trilinear lookups) instead of exact VM gathers.
     secondary_use_baked: bool = True
+    # coarse visibility-bake resolution cap (0 = bake at full grid reso);
+    # smaller gather tables march faster at a small shadow-softness cost
+    secondary_bake_reso: int = 0
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

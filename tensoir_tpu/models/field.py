@@ -33,7 +33,9 @@ import numpy as np
 
 from tensoir_tpu.models import mlps
 from tensoir_tpu.models import lighting
-from tensoir_tpu.ops.interp import bilerp_plane, lerp_line, trilerp_volume  # noqa: F401 (trilerp re-exported)
+from tensoir_tpu.ops.interp import (bilerp_plane, bilerp_plane_packed,  # noqa: F401
+                                    lerp_line, lerp_line_matmul,
+                                    trilerp_volume)
 from tensoir_tpu.ops.rays import safe_l2_normalize
 
 MAT_MODE = ((0, 1), (0, 2), (1, 2))
@@ -215,9 +217,12 @@ def density_feature(cfg: FieldConfig, params: Dict, coords):
     total = jnp.zeros(coords.shape[:-1], coords.dtype)
     for i in range(3):
         m0, m1 = MAT_MODE[i]
-        lf = lerp_line(params[f"density_line_{i}"], coords[..., VEC_MODE[i]])
-        pf = bilerp_plane(params[f"density_plane_{i}"],
-                          coords[..., m0], coords[..., m1])
+        # matmul line + corner-packed plane gather: ~3x fewer gather/scatter
+        # rows than per-corner gathers (see ops/interp.py docstrings)
+        lf = lerp_line_matmul(params[f"density_line_{i}"],
+                              coords[..., VEC_MODE[i]])
+        pf = bilerp_plane_packed(params[f"density_plane_{i}"],
+                                 coords[..., m0], coords[..., m1])
         total = total + jnp.sum(pf * lf, axis=-1)
     return total
 
@@ -227,12 +232,14 @@ def _app_raw_feature(cfg: FieldConfig, params: Dict, coords):
     feats = []
     for i in range(3):
         m0, m1 = MAT_MODE[i]
-        lf = lerp_line(params[f"app_line_{i}"], coords[..., VEC_MODE[i]])
         if cfg.decomp == "vm":
-            pf = bilerp_plane(params[f"app_plane_{i}"],
-                              coords[..., m0], coords[..., m1])
+            lf = lerp_line_matmul(params[f"app_line_{i}"],
+                                  coords[..., VEC_MODE[i]])
+            pf = bilerp_plane_packed(params[f"app_plane_{i}"],
+                                     coords[..., m0], coords[..., m1])
             feats.append(pf * lf)
         else:
+            lf = lerp_line(params[f"app_line_{i}"], coords[..., VEC_MODE[i]])
             feats.append(lf)
     if cfg.decomp == "cp":
         prod = feats[0] * feats[1] * feats[2]
@@ -380,7 +387,7 @@ def _mask_at_grid_nodes(scene: Dict, grid_xyz: Tuple[int, int, int]):
 
 
 def bake_packed_sigma_grid(cfg: FieldConfig, params: Dict, scene: Dict,
-                           dtype=jnp.bfloat16) -> jax.Array:
+                           dtype=jnp.bfloat16, max_reso: int = 0) -> jax.Array:
     """Corner-packed baked sigma-feature grid [Z-1, Y-1, X-1, 8].
 
     TPU gathers cost per-ROW, not per-byte: packing the 8 trilinear corner
@@ -394,6 +401,29 @@ def bake_packed_sigma_grid(cfg: FieldConfig, params: Dict, scene: Dict,
     alpha-mask culling (relight_utils.py:803-808) up to the grid-node
     discretization of the already-dilated mask.
     """
+    if max_reso > 0:
+        # coarse visibility bake: resample the factors to <= max_reso per
+        # axis first (align_corners resize IS exact VM evaluation at the
+        # coarse nodes), shrinking the gather table — TPU gather throughput
+        # rises as the table shrinks (measured: 46M rows/s at 200^3 ->
+        # 71M rows/s at <=126^3), and secondary visibility tolerates a
+        # coarser sigma proxy
+        from tensoir_tpu.ops.interp import resize_bilinear_align_corners
+        params = dict(params)
+        for i in range(3):
+            if f"density_plane_{i}" in params:
+                pl = params[f"density_plane_{i}"]
+                H, W, _ = pl.shape
+                nh, nw = min(H, max_reso), min(W, max_reso)
+                if (nh, nw) != (H, W):
+                    params[f"density_plane_{i}"] = \
+                        resize_bilinear_align_corners(pl, (nh, nw))
+            ln = params[f"density_line_{i}"]
+            D = ln.shape[0]
+            nd = min(D, max_reso)
+            if nd != D:
+                params[f"density_line_{i}"] = \
+                    resize_bilinear_align_corners(ln[:, None, :], (nd, 1))[:, 0, :]
     baked = bake_sigma_feature_grid(cfg, params)               # [Z, Y, X]
     Z, Y, X = baked.shape
     mask = _mask_at_grid_nodes(scene, (X, Y, Z))

@@ -191,6 +191,7 @@ def secondary_shading_tiled(
     app_cap: int = 16,
     march_cap: int = 32,
     use_baked: bool = True,
+    bake_reso: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -203,7 +204,8 @@ def secondary_shading_tiled(
     if use_baked:
         # computed once; hoisted out of the lax.map body as a loop invariant
         baked = jax.lax.stop_gradient(
-            F.bake_packed_sigma_grid(cfg, params, scene))
+            F.bake_packed_sigma_grid(cfg, params, scene,
+                                     max_reso=bake_reso))
 
     P, L, _ = surf2light.shape
     pts = jnp.broadcast_to(surf_pts[:, None, :], (P, L, 3)).reshape(-1, 3)

@@ -35,6 +35,7 @@ def render_train_batch(
     march_cap: int = 0,
     second_march_cap: int = 32,
     secondary_use_baked: bool = True,
+    secondary_bake_reso: int = 0,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
     second_near: float = 0.05,
@@ -89,6 +90,7 @@ def render_train_batch(
         secondary_tile=secondary_tile,
         second_march_cap=second_march_cap,
         secondary_use_baked=secondary_use_baked,
+        secondary_bake_reso=secondary_bake_reso,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)
 

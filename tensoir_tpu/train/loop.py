@@ -193,6 +193,7 @@ def reconstruction(
             march_cap=cfg.march_cap_primary if relight else 0,
             second_march_cap=cfg.march_cap_secondary,
             secondary_use_baked=cfg.secondary_use_baked,
+            secondary_bake_reso=cfg.secondary_bake_reso,
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,

@@ -54,6 +54,7 @@ class StepStatic:
     march_cap: int = 0          # primary occupancy-culled marching (0=dense)
     second_march_cap: int = 32  # secondary-ray occupancy cull
     secondary_use_baked: bool = True  # baked sigma grid for visibility
+    secondary_bake_reso: int = 0      # coarse-bake cap (0 = full reso)
     relight_ray_cap: int = 1024
     second_n_sample: int = 96
     second_near: float = 0.05
@@ -74,6 +75,7 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         sample_method=st.sample_method, app_cap=st.app_cap,
         march_cap=st.march_cap, second_march_cap=st.second_march_cap,
         secondary_use_baked=st.secondary_use_baked,
+        secondary_bake_reso=st.secondary_bake_reso,
         relight_ray_cap=st.relight_ray_cap,
         second_n_sample=st.second_n_sample, second_near=st.second_near,
         second_far=st.second_far, secondary_tile=st.secondary_tile,

@@ -140,3 +140,25 @@ def test_pair_select_compact_matches_topk():
     for a, b, name in zip(out_c, out_t, ("nerv", "nerfactor", "indirect")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-4, err_msg=name)
+
+
+def test_secondary_tiled_coarse_bake():
+    """Coarse visibility bake (secondary_bake_reso) stays close to the
+    full-resolution bake."""
+    from tensoir_tpu.render.secondary import secondary_shading_tiled
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(4)
+    P, L = 16, 8
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (P, 3)).astype(np.float32))
+    d = rng.normal(size=(P, L, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = jnp.asarray(d)
+    lidx = jnp.zeros(P, jnp.int32)
+    mask = jnp.ones((P, L), bool)
+    kw = dict(n_sample=32, vis_near=0.05, vis_far=1.5, tile=64, app_cap=8)
+    vis_f, ind_f = secondary_shading_tiled(cfg, params, scene, pts, dirs,
+                                           lidx, mask, **kw)
+    vis_c, ind_c = secondary_shading_tiled(cfg, params, scene, pts, dirs,
+                                           lidx, mask, bake_reso=16, **kw)
+    assert vis_c.shape == vis_f.shape and ind_c.shape == ind_f.shape
+    assert float(jnp.mean(jnp.abs(vis_c - vis_f))) < 0.15
