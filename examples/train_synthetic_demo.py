@@ -28,6 +28,8 @@ def main(argv=None):
     parser.add_argument("--img", type=int, default=128)
     parser.add_argument("--views", type=int, default=24)
     parser.add_argument("--batch", type=int, default=4096)
+    parser.add_argument("--bake_reso", type=int, default=0,
+                        help="coarse secondary-visibility bake cap (0=full)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.compile_cache import enable as _cc
@@ -73,6 +75,7 @@ def main(argv=None):
         march_cap_secondary=32,
         relight_ray_cap=512,
         secondary_tile=32768,
+        secondary_bake_reso=args.bake_reso,
         vis_every=0,
         N_vis=0,
         save_iters=0,

@@ -167,6 +167,8 @@ def init_field_params(key, cfg: FieldConfig, grid_size, aabb,
         "alpha_volume": jnp.ones((2, 2, 2), jnp.float32),
         # extra-dilated copy for 1-gather nearest-neighbor culling
         "alpha_volume_dilated": jnp.ones((2, 2, 2), jnp.uint8),
+        # corner-packed copy for 1-gather trilinear lookups
+        "alpha_volume_packed": jnp.ones((1, 1, 1, 8), jnp.bfloat16),
         "alpha_aabb": jnp.asarray(aabb, jnp.float32).reshape(2, 3),
         "has_alpha_mask": jnp.asarray(0.0, jnp.float32),
     }
@@ -468,16 +470,34 @@ def density_feature_packed(packed: jax.Array, coords) -> jax.Array:
 
 # ---------------------------------------------------------------- alpha mask
 
+def pack_corner_volume(vol: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Corner-pack a [D, H, W] volume into [(D-1)(H-1)(W-1), 8] rows
+    (channel order c = 4*dz + 2*dy + dx, matching density_feature_packed) so
+    a trilinear lookup is ONE row gather instead of eight — same trick as
+    the baked sigma grid; gathers are row-count-bound with row width free."""
+    D, H, W = vol.shape
+    corners = [vol[dz:D - 1 + dz, dy:H - 1 + dy, dx:W - 1 + dx]
+               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    return jnp.stack(corners, axis=-1).astype(dtype)
+
+
 def sample_alpha_mask(scene: Dict, xyz):
     """Trilinear alpha-mask lookup in world coords (AlphaGridMask.sample_alpha,
     tensorBase_rotated_lights.py:112-119). Returns alpha values [...,].
+
+    Uses the corner-packed copy (one gather/sample) when present; falls back
+    to the 8-gather trilerp otherwise (e.g. scenes loaded from old
+    checkpoints before `update_alpha_mask` repacks).
 
     Before the first updateAlphaMask, `has_alpha_mask` is 0 and this returns
     all-ones (reference: alphaMask is None branch).
     """
     aabb = scene["alpha_aabb"]
     norm = (xyz - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
-    vals = trilerp_volume(scene["alpha_volume"], norm)
+    if "alpha_volume_packed" in scene:
+        vals = density_feature_packed(scene["alpha_volume_packed"], norm)
+    else:
+        vals = trilerp_volume(scene["alpha_volume"], norm)
     return jnp.where(scene["has_alpha_mask"] > 0, vals, jnp.ones_like(vals))
 
 

@@ -115,6 +115,7 @@ def update_alpha_mask(cfg: F.FieldConfig, params: Dict, scene: Dict,
     # sample_alpha_mask_nearest)
     scene["alpha_volume_dilated"] = jnp.asarray(
         _maxpool3(vol).astype(np.uint8))
+    scene["alpha_volume_packed"] = F.pack_corner_volume(jnp.asarray(vol))
     scene["alpha_aabb"] = jnp.asarray(aabb, jnp.float32)
     scene["has_alpha_mask"] = jnp.asarray(1.0, jnp.float32)
     return scene, new_aabb

@@ -48,6 +48,7 @@ def save_checkpoint(path: str, cfg: FieldConfig, params: Dict, scene: Dict,
         arrays["train/rng_key"] = np.asarray(rng_key)
 
     scene_np = {k: np.asarray(v) for k, v in scene.items()}
+    scene_np.pop("alpha_volume_packed", None)  # derived; rebuilt on load
     alpha = scene_np.pop("alpha_volume")
     alpha_bool = alpha > 0.5
     arrays["alpha/packed"] = np.packbits(alpha_bool.reshape(-1))
@@ -101,6 +102,9 @@ def load_checkpoint(path: str) -> Tuple[FieldConfig, Dict, Dict, Dict]:
     scene["alpha_volume"] = alpha.astype(np.float32)
 
     import jax.numpy as jnp
+    from tensoir_tpu.models.field import pack_corner_volume
+    scene["alpha_volume_packed"] = np.asarray(
+        pack_corner_volume(jnp.asarray(scene["alpha_volume"])))
     params = {k: (jnp.asarray(v) if not isinstance(v, dict)
                   else {kk: jnp.asarray(vv) for kk, vv in v.items()})
               for k, v in params.items()}
