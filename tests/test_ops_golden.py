@@ -292,3 +292,78 @@ def test_safe_normalize_grad_finite_at_zero():
     x = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 2.0, 2.0]])
     gb = jax.grad(fb)(x)
     assert np.isfinite(np.asarray(gb)).all()
+
+
+def test_bilerp_plane_packed_matches_bilerp():
+    """Corner-packed single-gather plane interp == 4-corner bilerp, for
+    values, grads w.r.t. grid, and 1st/2nd-order grads w.r.t. coords."""
+    import jax
+    import jax.numpy as jnp
+    from tensoir_tpu.ops.interp import bilerp_plane, bilerp_plane_packed
+
+    rng = np.random.default_rng(0)
+    plane = jnp.asarray(rng.normal(size=(9, 7, 5)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (64,)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (64,)).astype(np.float32))
+
+    a = bilerp_plane(plane, x, y)
+    b = bilerp_plane_packed(plane, x, y)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    ga = jax.grad(lambda p: jnp.sum(jnp.tanh(bilerp_plane(p, x, y))))(plane)
+    gb = jax.grad(lambda p: jnp.sum(jnp.tanh(bilerp_plane_packed(p, x, y))))(plane)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
+    gxa = jax.grad(lambda xx: jnp.sum(bilerp_plane(plane, xx, y) ** 2))(x)
+    gxb = jax.grad(lambda xx: jnp.sum(bilerp_plane_packed(plane, xx, y) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb), atol=1e-4,
+                               rtol=1e-4)
+
+    # second order w.r.t. coords (derived-normals-in-loss path)
+    hxa = jax.grad(lambda xx: jnp.sum(
+        jax.grad(lambda x2: jnp.sum(bilerp_plane(plane, x2, y) ** 2))(xx) ** 2))(x)
+    hxb = jax.grad(lambda xx: jnp.sum(
+        jax.grad(lambda x2: jnp.sum(bilerp_plane_packed(plane, x2, y) ** 2))(xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(hxa), np.asarray(hxb), atol=1e-3,
+                               rtol=1e-3)
+
+
+def test_lerp_line_matmul_matches_lerp():
+    import jax
+    import jax.numpy as jnp
+    from tensoir_tpu.ops.interp import lerp_line, lerp_line_matmul
+
+    rng = np.random.default_rng(1)
+    line = jnp.asarray(rng.normal(size=(11, 6)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(-1, 1, (64,)).astype(np.float32))
+
+    a = lerp_line(line, z)
+    b = lerp_line_matmul(line, z)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    ga = jax.grad(lambda l: jnp.sum(jnp.tanh(lerp_line(l, z))))(line)
+    gb = jax.grad(lambda l: jnp.sum(jnp.tanh(lerp_line_matmul(l, z))))(line)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
+    gza = jax.grad(lambda zz: jnp.sum(lerp_line(line, zz) ** 2))(z)
+    gzb = jax.grad(lambda zz: jnp.sum(lerp_line_matmul(line, zz) ** 2))(z)
+    np.testing.assert_allclose(np.asarray(gza), np.asarray(gzb), atol=1e-5)
+
+
+def test_pack_corner_volume_matches_trilerp():
+    import jax.numpy as jnp
+    from tensoir_tpu.models.field import (pack_corner_volume,
+                                          density_feature_packed)
+    from tensoir_tpu.ops.interp import trilerp_volume
+
+    rng = np.random.default_rng(2)
+    vol = jnp.asarray((rng.random((7, 6, 5)) > 0.5).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.0, 1.0, (128, 3)).astype(np.float32))
+    a = trilerp_volume(vol, coords)
+    b = density_feature_packed(pack_corner_volume(vol, jnp.float32), coords)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # Out of [-1, 1] the packed variant border-clamps while trilerp_volume
+    # extrapolates on the negative side, so values (and even > 0 decisions)
+    # can differ there. That is outside the contract: every sample_alpha_mask
+    # call site first gates samples on AABB validity (ops/rays.py sample_ray*
+    # `valid` masks), so mask queries are only consumed in-range.
