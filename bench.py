@@ -91,6 +91,7 @@ def main():
                     app_cap=32, relight_ray_cap=RELIGHT_CAP,
                     march_cap=192, second_march_cap=32,
                     secondary_use_baked=True,
+                    secondary_bake_reso=128,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)
