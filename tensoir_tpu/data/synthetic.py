@@ -211,14 +211,20 @@ class SyntheticShadowDataset(SyntheticSphereDataset):
         depth = np.where(hit, t, 0.0).astype(np.float32)
         return rgb, normal, depth, hit.astype(np.float32)
 
-    def render_env_gt(self, rays: np.ndarray, env_map: np.ndarray
+    def render_env_gt(self, rays: np.ndarray, env_map: np.ndarray,
+                      background: str = "env", srgb: bool = True
                       ) -> np.ndarray:
         """Exact relit image under a lat-long environment map.
 
         The scene is lambertian, so the rendering equation reduces to
         albedo/pi * sum_texel env * cos+ * visibility * domega — computable
         in closed form per pixel (shadow visibility = ray/sphere test).
-        Ground truth for the relighting benchmark; white background.
+        Ground truth for the relighting benchmark. Conventions match the
+        relighting pipeline's `relight_with_bg` output
+        (render/relight_pipeline.py: linear radiance clipped to [0,1] then
+        linear2srgb; env-map background where the ray misses —
+        scripts/relight_importance.py:173-181): background='env'|'white',
+        srgb=True applies the same transfer curve to fg and bg.
         """
         from tensoir_tpu.models.lighting import envmap_dirs
 
@@ -242,7 +248,15 @@ class SyntheticShadowDataset(SyntheticSphereDataset):
              < self.SPHERE_R + 1e-3)[:, None],
             self.albedo[None], self.PLANE_ALBEDO[None])
 
-        out = np.ones_like(rgb)
+        if background == "env":
+            import jax.numpy as jnp
+            from tensoir_tpu.models.lighting import latlong_lookup
+            bg = np.asarray(latlong_lookup(
+                jnp.asarray(env_map), jnp.asarray(rays_d),
+                align_corners=True, padding="zeros"))
+            out = np.clip(bg, 0.0, 1.0).astype(rgb.dtype)
+        else:
+            out = np.ones_like(rgb)
         idx = np.where(hit > 0)[0]
         for start in range(0, idx.size, 4096):   # chunk the [P, T] blowup
             ii = idx[start:start + 4096]
@@ -257,6 +271,10 @@ class SyntheticShadowDataset(SyntheticSphereDataset):
             L = env_map.reshape(-1, 3)                       # [T, 3]
             integ = (cos * vis * domega[None]) @ L           # [P, 3]
             out[ii] = np.clip(albedo[ii] / np.pi * integ, 0.0, 1.0)
+        if srgb:
+            import jax.numpy as jnp
+            from tensoir_tpu.ops.color import linear2srgb
+            out = np.asarray(linear2srgb(jnp.asarray(out)))
         return out.astype(np.float32)
 
     def __getitem__(self, k: int):
