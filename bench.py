@@ -20,7 +20,6 @@ measured number.
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -36,6 +35,7 @@ def main():
     _cc()
 
     from tensoir_tpu.models.field import FieldConfig, init_field_params
+    from tensoir_tpu.profiling import RayThroughputMeter
     from tensoir_tpu.train.optim import make_optimizer
     from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
 
@@ -122,16 +122,15 @@ def main():
     sync(m)
 
     n_iters = 10 if platform != "cpu" else 3
-    t0 = time.perf_counter()
+    meter = RayThroughputMeter(primary_per_step=B,
+                               visibility_per_step=RELIGHT_CAP * ENV_H * ENV_W)
+    meter.start()
     for i in range(n_iters):
         key, sub = jax.random.split(key)
         p, s, m = step_fn(p, s, scene, batch, sub, jnp.asarray(i + 2))
+        meter.step()
     sync(m)
-    dt = time.perf_counter() - t0
-
-    env_dirs = ENV_H * ENV_W
-    rays_per_step = B + RELIGHT_CAP * env_dirs
-    rays_per_s = rays_per_step * n_iters / dt
+    rays_per_s = meter.report()["rays_per_s"]
 
     print(json.dumps({
         "metric": "train_rays_per_sec_chip",

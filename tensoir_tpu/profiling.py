@@ -63,10 +63,16 @@ def annotate(name: str):
 
 
 class MetricsLogger:
-    """JSONL metrics sink + optional TensorBoard (SURVEY.md §5.5)."""
+    """JSONL metrics sink + TensorBoard event files (SURVEY.md §5.5).
+
+    TensorBoard scalars/images go through the self-contained
+    `utils.tb_writer.EventWriter` (this image has no tensorboard package);
+    the files load in any standard TensorBoard install — matching the
+    reference's SummaryWriter usage (train_tensoIR.py:153,328-334,
+    renderer.py:443-452)."""
 
     def __init__(self, log_dir: Optional[str] = None,
-                 use_tensorboard: bool = False):
+                 use_tensorboard: bool = True):
         self._file = None
         self._tb = None
         if log_dir:
@@ -74,11 +80,8 @@ class MetricsLogger:
             os.makedirs(log_dir, exist_ok=True)
             self._file = open(f"{log_dir}/metrics.jsonl", "a")
             if use_tensorboard:
-                try:
-                    from torch.utils.tensorboard import SummaryWriter
-                    self._tb = SummaryWriter(log_dir)
-                except ImportError:
-                    pass
+                from tensoir_tpu.utils.tb_writer import EventWriter
+                self._tb = EventWriter(log_dir)
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = "train"):
         rec = {"step": step, **{f"{prefix}/{k}": float(v)
@@ -87,8 +90,14 @@ class MetricsLogger:
             self._file.write(json.dumps(rec) + "\n")
             self._file.flush()
         if self._tb:
-            for k, v in metrics.items():
-                self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+            self._tb.add_scalars({k: float(v) for k, v in metrics.items()},
+                                 step, prefix=f"{prefix}/")
+
+    def log_image(self, step: int, tag: str, img) -> None:
+        """Eval image panel (renderer.py:443-452's add_image equivalent)."""
+        if self._tb:
+            self._tb.add_image(tag, img, step)
+            self._tb.flush()
 
     def close(self):
         if self._file:

@@ -10,7 +10,7 @@ layout.
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache
 from typing import Dict, Optional
 
 import jax
@@ -23,13 +23,21 @@ from tensoir_tpu.render.train_render import render_train_batch
 from tensoir_tpu.utils import metrics as M
 
 
+@lru_cache(maxsize=32)
 def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
                        is_relight: bool = True, white_bg: bool = True,
                        app_cap: int = 64, relight_ray_cap: int = 0,
                        second_n_sample: int = 96, second_near: float = 0.05,
                        second_far: float = 1.5, secondary_tile: int = 16384,
                        march_cap: int = 256, second_march_cap: int = 48):
-    """Jitted fixed-size chunk renderer (eval: no jitter, fixed envmap dirs)."""
+    """Jitted fixed-size chunk renderer (eval: no jitter, fixed envmap dirs).
+
+    lru_cache'd on the static configuration so periodic in-training evals
+    reuse one compiled function instead of recompiling per `evaluation_iter`
+    call (every argument is hashable; FieldConfig is a frozen dataclass).
+    Shape-changing lifecycle events land in a different cache slot via
+    `n_samples`; stale slots for dead shapes age out of the LRU.
+    """
 
     @jax.jit
     def chunk_fn(params, scene, rays, light_idx):
@@ -109,6 +117,8 @@ def evaluation_iter(
     second_n_sample: int = 96,
     secondary_tile: int = 16384,
     light_idx_to_test: int = 0,
+    logger=None,
+    log_step: int = 0,
 ) -> Dict[str, float]:
     """Returns a metrics dict (psnr_nvs, psnr_nvs_brdf, mae, psnr_albedo_*).
 
@@ -127,27 +137,33 @@ def evaluation_iter(
         app_cap=app_cap, relight_ray_cap=relight_ray_cap,
         second_n_sample=second_n_sample, secondary_tile=secondary_tile)
 
-    # --- environment-map strip (renderer.py:183-202) ---
+    # --- environment-map strip (renderer.py:183-202; the general-multi
+    # variant stacks ALL learned lights, renderer.py:838-861) ---
     if save_path:
         _, strip_dirs = lighting.envmap_dirs(256, 512)
-        pred_env = np.asarray(lighting.get_light_rgbs(
+        pred_envs = np.asarray(lighting.get_light_rgbs(
             params, cfg, jnp.asarray(strip_dirs),
-            gt_envmap=scene.get("gt_envmap")))[light_idx_to_test]
-        pred_env = pred_env.reshape(256, 512, 3)
-        pred_env = np.uint8(np.clip(np.power(np.clip(pred_env, 0, None),
-                                             1 / 2.2), 0, 1) * 255)
+            gt_envmap=scene.get("gt_envmap")))           # [light_num, HW, 3]
+        pred_envs = pred_envs.reshape(-1, 256, 512, 3)
+        pred_envs = np.uint8(np.clip(np.power(np.clip(pred_envs, 0, None),
+                                              1 / 2.2), 0, 1) * 255)
+        # every learned light stacked vertically, like the reference
+        pred_env = pred_envs.reshape(-1, 512, 3)
         strip = [pred_env]
         probes = getattr(test_dataset, "lights_probes", None)
-        if isinstance(probes, np.ndarray):
+        if isinstance(probes, np.ndarray) and pred_envs.shape[0] == 1:
             gt_env = np.uint8(np.clip(np.power(
                 np.clip(probes, 0, None), 1 / 2.2), 0, 1) * 255)
             import cv2
             gt_env = cv2.resize(gt_env, (512, 256),
                                 interpolation=cv2.INTER_CUBIC)
             strip = [gt_env, pred_env]
+        env_panel = np.concatenate(strip, 1)
         imageio.imwrite(
             os.path.join(save_path, "envir_map", f"{prtx}envirmap.png"),
-            np.concatenate(strip, 1))
+            env_panel)
+        if logger is not None:
+            logger.log_image(log_step, "eval/envmap", env_panel)
 
     num_test = len(test_dataset) if test_all else min(n_vis, len(test_dataset))
     test_duration = max(int(len(test_dataset) / num_test), 1)
@@ -239,6 +255,11 @@ def evaluation_iter(
             rgb_frames.append(rgb8)
             brdf_frames.append(to8(brdf_map))
             normal_frames.append(nrm8)
+            if logger is not None and vi == 0:
+                # first-view panel per eval: rgb | brdf | gt | normal
+                # (renderer.py:443-452's add_image equivalent)
+                logger.log_image(log_step, "eval/panel", np.concatenate(
+                    [rgb8, to8(brdf_map), gt8, nrm8], 1))
 
     results: Dict[str, float] = {
         "psnr_nvs": float(np.mean(psnrs)) if psnrs else float("nan"),
@@ -254,6 +275,9 @@ def evaluation_iter(
             float(np.mean(np.stack(albedo_single_sq))))
         results["psnr_albedo_three"] = M.mse2psnr(
             float(np.mean(np.stack(albedo_three_sq))))
+
+    if logger is not None:
+        logger.log(log_step, results, prefix="eval")
 
     if save_path:
         with open(os.path.join(save_path, "metrics_record.txt"), "a") as f:

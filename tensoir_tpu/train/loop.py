@@ -17,7 +17,6 @@ over a run).
 """
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass
@@ -31,9 +30,22 @@ from tensoir_tpu.config import TensoIRConfig
 from tensoir_tpu.models.field import FieldConfig, init_field_params, grid_size_of
 from tensoir_tpu.models import lifecycle as LC
 from tensoir_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from tensoir_tpu.profiling import MetricsLogger, RayThroughputMeter
 from tensoir_tpu.train.optim import make_optimizer, decay_factor
 from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
 from tensoir_tpu.utils.ckpt import save_checkpoint
+
+
+def write_config_provenance(cfg: TensoIRConfig, log_dir: str) -> str:
+    """Record the effective config in the log folder (the reference copies
+    the args file + kwargs into logfolder/config.txt, train_tensoIR.py:156).
+    Writing every resolved field also captures CLI overrides."""
+    import dataclasses
+    path = os.path.join(log_dir, "config.txt")
+    with open(path, "w") as f:
+        for fld in dataclasses.fields(cfg):
+            f.write(f"{fld.name} = {getattr(cfg, fld.name)!r}\n")
+    return path
 
 
 class SimpleSampler:
@@ -223,10 +235,20 @@ def reconstruction(
 
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
-        metrics_path = os.path.join(log_dir, "metrics.jsonl")
-        metrics_file = open(metrics_path, "a")
+        write_config_provenance(cfg, log_dir)
+        logger = MetricsLogger(log_dir)
     else:
-        metrics_file = None
+        logger = None
+
+    def make_meter() -> RayThroughputMeter:
+        vis = (cfg.relight_ray_cap * cfg.envmap_h * cfg.envmap_w
+               if relight else 0)
+        meter = RayThroughputMeter(primary_per_step=cfg.batch_size,
+                                   visibility_per_step=vis)
+        meter.start()
+        return meter
+
+    meter = make_meter()
 
     def train_state_extra(it: int) -> Dict:
         return {"iteration": it, "train_state": {
@@ -251,15 +273,18 @@ def reconstruction(
         key, sub = jax.random.split(key)
         params, opt_state, metrics = step_fn(
             params, opt_state, scene, batch, sub, jnp.asarray(it))
+        meter.step()
 
         if it % cfg.progress_refresh_rate == 0 or it == n_iters - 1:
             m = {k: float(v) for k, v in metrics.items()}
             m["iteration"] = it
             m["elapsed_s"] = time.time() - t_start
+            # float() above syncs device->host, so the meter window is real
+            m["rays_per_s"] = meter.report()["rays_per_s"]
+            meter.start()
             history.append(m)
-            if metrics_file:
-                metrics_file.write(json.dumps(m) + "\n")
-                metrics_file.flush()
+            if logger:
+                logger.log(it, m)
             if progress_cb:
                 progress_cb(it, m)
 
@@ -282,6 +307,7 @@ def reconstruction(
                                 LC.cal_n_samples(reso_cur, cfg.step_ratio))
                 cur_lr_scale = 1.0
                 step_fn, opt_state = build_step(cur_lr_scale)
+                meter = make_meter()   # relight flip changes rays/step
                 if mesh is not None:
                     params = replicate(mesh, params)
                     scene = replicate(mesh, scene)
@@ -312,7 +338,8 @@ def reconstruction(
 
         if eval_fn is not None and relight and cfg.vis_every > 0 \
                 and it % cfg.vis_every == cfg.vis_every - 1:
-            eval_fn(fcfg, params, scene, it, n_samples)
+            eval_fn(fcfg, params, scene, it, n_samples, logger=logger)
+            meter.start()   # exclude eval time from the throughput window
 
         if log_dir and cfg.save_iters > 0 and it > 0 \
                 and it % cfg.save_iters == 0:
@@ -330,8 +357,8 @@ def reconstruction(
                         extra=train_state_extra(n_iters),
                         opt_state=jax.tree.map(np.asarray, opt_state),
                         rng_key=np.asarray(key))
-        if metrics_file:
-            metrics_file.close()
+        if logger:
+            logger.close()
 
     return TrainResult(params=params, scene=scene, fcfg=fcfg,
                        metrics_history=history, n_samples=n_samples)

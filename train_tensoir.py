@@ -113,7 +113,7 @@ def main(argv=None):
     train_dataset = build_dataset(cfg, "train")
     test_dataset = build_dataset(cfg, "test")
 
-    def eval_cb(fcfg, params, scene, it, n_samples):
+    def eval_cb(fcfg, params, scene, it, n_samples, logger=None):
         try:
             results = evaluation_iter(
                 fcfg, params, scene, test_dataset,
@@ -122,7 +122,8 @@ def main(argv=None):
                 prtx=f"{it:06d}_", chunk=cfg.batch_size_test,
                 n_vis=cfg.N_vis, compute_extra_metrics=False,
                 second_n_sample=cfg.second_nSample,
-                secondary_tile=cfg.secondary_tile)
+                secondary_tile=cfg.secondary_tile,
+                logger=logger, log_step=it)
             print(f"[eval @{it}] {results}")
         except Exception as e:
             print(f"[eval @{it}] failed: {e}")
