@@ -32,15 +32,33 @@ def make_mesh(n_data: Optional[int] = None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch: Dict):
-    """Put a batch dict on the mesh, sharded on the leading (ray) axis."""
+    """Put a batch dict on the mesh, sharded on the leading (ray) axis.
+
+    Single-process: `batch` holds the global batch. Multi-process: each
+    process passes its HOST-LOCAL slice (global_batch / process_count rows,
+    in process-index order) and the global array is assembled over DCN-split
+    shards without any cross-host data movement
+    (jax.make_array_from_process_local_data)."""
     sharding = NamedSharding(mesh, P("data"))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params / scene / optimizer state) on every chip."""
+    """Replicate a pytree (params / scene / optimizer state) on every chip.
+
+    Multi-process: every process must hold the SAME host array (true here:
+    init / lifecycle events are computed identically on each host from the
+    same seed)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
 
 
 def host_fold_key(key: jax.Array) -> jax.Array:

@@ -125,7 +125,23 @@ def reconstruction(
     reso_cur = LC.n_to_reso(cfg.N_voxel_init, aabb)
     n_samples = min(cfg.nSamples, LC.cal_n_samples(reso_cur, cfg.step_ratio))
 
-    mesh = make_mesh(cfg.mesh_data) if cfg.mesh_data > 1 else None
+    # multi-host (SURVEY.md §2.8): a mesh over every chip on every process;
+    # each host loads/samples only its own ray shard (see below) and the
+    # shard_map'ed step all-reduces grads over ICI+DCN. Single-host keeps the
+    # cfg.mesh_data gate.
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        mesh = make_mesh()
+    else:
+        mesh = make_mesh(cfg.mesh_data) if cfg.mesh_data > 1 else None
+    is_main = jax.process_index() == 0
+    if not is_main:
+        log_dir = None   # artifacts (logger, checkpoints) only on process 0
+    local_batch = cfg.batch_size // n_proc
+    if local_batch * n_proc != cfg.batch_size:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by process count "
+            f"{n_proc}")
 
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init = jax.random.split(key)
@@ -158,13 +174,21 @@ def reconstruction(
     lr_factor = decay_factor(cfg.lr_decay_target_ratio,
                              cfg.lr_decay_iters, n_iters)
 
-    # ray prefilter (train_tensoIR.py:226-231)
+    # ray prefilter (train_tensoIR.py:226-231); multi-host: each process
+    # keeps only its contiguous shard of the filtered rays and samples
+    # local_batch rows per step from it (host-local data loading)
+    from tensoir_tpu.parallel.multihost import host_shard
     all_rays = np.asarray(dataset.all_rays, np.float32)
     all_rgbs = np.asarray(dataset.all_rgbs, np.float32)
     all_lidx = np.asarray(dataset.all_light_idx, np.int32).reshape(-1)
     keep = LC.filter_rays_bbox(all_rays, aabb)
     rays_f, rgbs_f, lidx_f = all_rays[keep], all_rgbs[keep], all_lidx[keep]
-    sampler = SimpleSampler(rays_f.shape[0], cfg.batch_size, seed=cfg.seed)
+    if n_proc > 1:
+        rays_f, _, _ = host_shard(rays_f)
+        rgbs_f, _, _ = host_shard(rgbs_f)
+        lidx_f, _, _ = host_shard(lidx_f)
+    sampler = SimpleSampler(rays_f.shape[0], local_batch,
+                            seed=cfg.seed + jax.process_index())
 
     voxel_list = LC.voxel_schedule(cfg.N_voxel_init, cfg.N_voxel_final,
                                    len(cfg.upsamp_list))
@@ -191,8 +215,12 @@ def reconstruction(
             keep = LC.filter_rays_bbox(all_rays, np.asarray(scene["aabb"]))
             rays_f, rgbs_f, lidx_f = (all_rays[keep], all_rgbs[keep],
                                       all_lidx[keep])
-        sampler = SimpleSampler(rays_f.shape[0], cfg.batch_size,
-                                seed=cfg.seed + start_it)
+            if n_proc > 1:
+                rays_f, _, _ = host_shard(rays_f)
+                rgbs_f, _, _ = host_shard(rgbs_f)
+                lidx_f, _, _ = host_shard(lidx_f)
+        sampler = SimpleSampler(rays_f.shape[0], local_batch,
+                                seed=cfg.seed + start_it + jax.process_index())
 
     def build_step(lr_scale: float):
         optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
@@ -319,8 +347,13 @@ def reconstruction(
                 keep = LC.filter_rays_bbox(all_rays, np.asarray(scene["aabb"]))
                 rays_f, rgbs_f, lidx_f = (all_rays[keep], all_rgbs[keep],
                                           all_lidx[keep])
-                sampler = SimpleSampler(rays_f.shape[0], cfg.batch_size,
-                                        seed=cfg.seed + it)
+                if n_proc > 1:
+                    rays_f, _, _ = host_shard(rays_f)
+                    rgbs_f, _, _ = host_shard(rgbs_f)
+                    lidx_f, _, _ = host_shard(lidx_f)
+                sampler = SimpleSampler(
+                    rays_f.shape[0], local_batch,
+                    seed=cfg.seed + it + jax.process_index())
 
         if it in upsamp_left and voxel_list:
             n_voxels = voxel_list.pop(0)
