@@ -437,6 +437,56 @@ def bake_packed_sigma_grid(cfg: FieldConfig, params: Dict, scene: Dict,
     return jnp.stack(corners, axis=-1).astype(dtype)
 
 
+def bake_coarse_occupancy(packed: jax.Array, reso: int = 32,
+                          feat_thres: float = 0.0,
+                          dilate: int = 1) -> jax.Array:
+    """Conservative coarse occupancy [reso, reso, reso] from a corner-packed
+    baked sigma grid, dilated `dilate` coarse cells.
+
+    A coarse cell is marked iff any fine cell mapping into it (or into a
+    neighbouring cell within the dilation radius) has a corner feature
+    > feat_thres. With softplus density (density_shift=-10) a cell below
+    thres=0 contributes sigma < 4.6e-5 (alpha < 2e-5 at the secondary step
+    size), so skipping unmarked regions changes transmittance by < ~2e-3;
+    with relu density the cut is exact. Used by the interval-culled
+    secondary march (render/secondary.py) to bound the occupied span of a
+    shadow ray before the fine gather loop — the reference marches every
+    sample unconditionally (relight_utils.py:788-812).
+    """
+    occ = jnp.max(packed.astype(jnp.float32), axis=-1) > feat_thres
+    Zc, Yc, Xc = occ.shape
+    bz, by, bx = -(-Zc // reso), -(-Yc // reso), -(-Xc // reso)
+    occ = jnp.pad(occ, ((0, bz * reso - Zc), (0, by * reso - Yc),
+                        (0, bx * reso - Xc)))
+    coarse = occ.reshape(reso, bz, reso, by, reso, bx).any(axis=(1, 3, 5))
+    if dilate > 0:
+        k = 2 * dilate + 1
+        coarse = jax.lax.reduce_window(
+            coarse.astype(jnp.float32), -jnp.inf, jax.lax.max,
+            (k, k, k), (1, 1, 1), "SAME") > 0.0
+    return coarse
+
+
+def coarse_occupancy_lookup(coarse: jax.Array, packed_shape, coords):
+    """Nearest-cell coarse-occupancy lookup at normalized coords [..., 3].
+
+    `packed_shape` is the corner-packed fine grid's shape (the coarse grid
+    was block-reduced from it, so the fine->coarse index map needs the
+    block sizes)."""
+    Rc = coarse.shape[0]
+    Zc, Yc, Xc = packed_shape[0], packed_shape[1], packed_shape[2]
+    bz, by, bx = -(-Zc // Rc), -(-Yc // Rc), -(-Xc // Rc)
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    fx = jnp.clip(jnp.floor((x + 1.0) * 0.5 * Xc), 0, Xc - 1)
+    fy = jnp.clip(jnp.floor((y + 1.0) * 0.5 * Yc), 0, Yc - 1)
+    fz = jnp.clip(jnp.floor((z + 1.0) * 0.5 * Zc), 0, Zc - 1)
+    cx = (fx.astype(jnp.int32) // bx)
+    cy = (fy.astype(jnp.int32) // by)
+    cz = (fz.astype(jnp.int32) // bz)
+    idx = (cz * Rc + cy) * Rc + cx
+    return jnp.take(coarse.reshape(-1), idx)
+
+
 def density_feature_packed(packed: jax.Array, coords) -> jax.Array:
     """Trilinear sigma-feature from a corner-packed grid — ONE gather/point.
 

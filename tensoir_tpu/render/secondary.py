@@ -23,6 +23,62 @@ from tensoir_tpu.ops.compositing import raw2alpha
 from tensoir_tpu.ops.rays import sample_ray_equally, z_to_dists
 
 
+def _march_window(cfg, baked, coarse, aabb, o, d, *, n_sample: int,
+                  vis_near: float, vis_far: float, window: int,
+                  prepass_n: int):
+    """Interval-culled secondary march: prepass the coarse occupancy to
+    bound the occupied span [t_enter, t_exit], then fine-march only the
+    `window` canonical sample positions inside it.
+
+    Sample positions/dists inside the window are exactly those of the full
+    n_sample march (sample_ray_equally's z grid), and the conservative
+    coarse bake (field.bake_coarse_occupancy) guarantees every cell with
+    non-negligible sigma lies inside the span, so the result matches the
+    full march up to (a) the feature threshold (transmittance error <~2e-3)
+    and (b) span truncation when the occupied span exceeds `window` samples
+    — by which point the accumulated opacity has long saturated.
+
+    Gathers per pair: prepass_n (tiny coarse table) + window, vs n_sample
+    for the full march — the row-count cut that matters on TPU.
+
+    Returns (coords [N,K,3], sigma [N,K], dists [N,K]).
+    """
+    N = o.shape[0]
+    S = n_sample
+    dt = (vis_far - vis_near) / (S - 1)
+
+    # --- prepass: conservative occupancy at prepass_n equally spaced ts
+    tp = jnp.linspace(vis_near, vis_far, prepass_n, dtype=o.dtype)
+    s_p = (vis_far - vis_near) / (prepass_n - 1)
+    xyz_p = o[:, None, :] + d[:, None, :] * tp[None, :, None]
+    inb = jnp.all((xyz_p >= aabb[0]) & (xyz_p <= aabb[1]), axis=-1)
+    occ = F.coarse_occupancy_lookup(
+        coarse, baked.shape, F.normalize_coord(aabb, xyz_p)) & inb   # [N, P]
+
+    big = jnp.asarray(1e9, o.dtype)
+    t_ent = jnp.min(jnp.where(occ, tp[None] - 0.5 * s_p, big), axis=1)
+    t_exit = jnp.max(jnp.where(occ, tp[None] + 0.5 * s_p, -big), axis=1)
+    any_occ = jnp.any(occ, axis=1)
+
+    j0 = jnp.clip(jnp.floor((t_ent - vis_near) / dt),
+                  0, S - 1).astype(jnp.int32)
+    j1 = jnp.clip(jnp.ceil((t_exit - vis_near) / dt),
+                  0, S - 1).astype(jnp.int32)
+
+    jj = j0[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]  # [N, K]
+    m = any_occ[:, None] & (jj <= j1[:, None]) & (jj <= S - 1)
+    # canonical sample position of index j (identical to sample_ray_equally)
+    tfrac = jj.astype(o.dtype) / (S - 1)
+    z = vis_near * (1.0 - tfrac) + vis_far * tfrac
+    xyz = o[:, None, :] + d[:, None, :] * z[..., None]
+    valid = m & jnp.all((xyz >= aabb[0]) & (xyz <= aabb[1]), axis=-1)
+    coords = F.normalize_coord(aabb, xyz)
+    feat = F.density_feature_packed(baked, coords)
+    sigma = jnp.where(valid, F.feature2density(cfg, feat), 0.0)
+    dists = jnp.where(jj >= S - 1, 0.0, dt).astype(o.dtype)
+    return coords, sigma, dists
+
+
 def compute_radiance(
     cfg: F.FieldConfig,
     params: Dict,
@@ -38,6 +94,9 @@ def compute_radiance(
     app_pair_cap: int = 0,
     march_cap: int = 0,
     baked=None,
+    coarse=None,
+    window: int = 0,
+    prepass_n: int = 18,
     pair_select: str = "compact",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """March a secondary ray: (nerv_vis, nerfactor_vis, indirect_light).
@@ -53,18 +112,27 @@ def compute_radiance(
     the visibility hot loop (SURVEY.md §3.1).
     """
     aabb = scene["aabb"]
-    xyz, z_vals, valid = sample_ray_equally(
-        surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
-    z_vals = jnp.broadcast_to(z_vals, xyz.shape[:2])
-    dists = z_to_dists(z_vals)
-    coords = F.normalize_coord(aabb, xyz)
-
-    if baked is not None:
+    if baked is not None and coarse is not None and 0 < window < n_sample:
+        # interval-culled march: prepass_n coarse + window fine gathers
+        # instead of n_sample fine gathers per pair
+        coords, sigma, dists = _march_window(
+            cfg, baked, coarse, aabb, surf_pts, light_in_dir,
+            n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
+            window=window, prepass_n=prepass_n)
+    elif baked is not None:
+        xyz, z_vals, valid = sample_ray_equally(
+            surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
+        dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
+        coords = F.normalize_coord(aabb, xyz)
         # corner-packed baked grid: ONE gather per sample; the alpha mask is
         # folded in at bake time, so no occupancy lookup / cull is needed
         feat = F.density_feature_packed(baked, coords)
         sigma = jnp.where(valid, F.feature2density(cfg, feat), 0.0)
     else:
+        xyz, z_vals, valid = sample_ray_equally(
+            surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
+        dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
+        coords = F.normalize_coord(aabb, xyz)
         if 0 < march_cap < n_sample:
             occ = F.sample_alpha_mask_nearest(scene, xyz)
             midx, valid = primary.select_occupied_samples(valid & occ,
@@ -149,9 +217,20 @@ def compute_transmittance(
     vis_far: float = 1.5,
     march_cap: int = 0,
     baked=None,
+    coarse=None,
+    window: int = 0,
+    prepass_n: int = 18,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility only (relight_utils.py:657-705), used at relighting eval."""
     aabb = scene["aabb"]
+    if baked is not None and coarse is not None and 0 < window < n_sample:
+        _, sigma, dists = _march_window(
+            cfg, baked, coarse, aabb, surf_pts, light_in_dir,
+            n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
+            window=window, prepass_n=prepass_n)
+        _, weight, transmittance = raw2alpha(sigma,
+                                             dists * cfg.distance_scale)
+        return transmittance[..., 0], 1.0 - jnp.sum(weight, -1)
     xyz, z_vals, valid = sample_ray_equally(
         surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
     dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
@@ -192,6 +271,8 @@ def secondary_shading_tiled(
     march_cap: int = 32,
     use_baked: bool = True,
     bake_reso: int = 0,
+    window: int = 0,
+    prepass_n: int = 18,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -201,11 +282,14 @@ def secondary_shading_tiled(
     stop_gradient'ed (the reference runs under torch.no_grad).
     """
     baked = None
+    coarse = None
     if use_baked:
         # computed once; hoisted out of the lax.map body as a loop invariant
         baked = jax.lax.stop_gradient(
             F.bake_packed_sigma_grid(cfg, params, scene,
                                      max_reso=bake_reso))
+        if 0 < window < n_sample:
+            coarse = jax.lax.stop_gradient(F.bake_coarse_occupancy(baked))
 
     P, L, _ = surf2light.shape
     pts = jnp.broadcast_to(surf_pts[:, None, :], (P, L, 3)).reshape(-1, 3)
@@ -233,7 +317,8 @@ def secondary_shading_tiled(
             cfg, params, scene, p, d, li,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
             app_cap=app_cap, app_pair_cap=tile // 4,
-            march_cap=march_cap, baked=baked)
+            march_cap=march_cap, baked=baked, coarse=coarse,
+            window=window, prepass_n=prepass_n)
         mf = m.astype(nerv.dtype)
         return nerv * mf, ind * mf[..., None]
 

@@ -36,6 +36,7 @@ def render_train_batch(
     second_march_cap: int = 32,
     secondary_use_baked: bool = True,
     secondary_bake_reso: int = 0,
+    second_window: int = 0,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
     second_near: float = 0.05,
@@ -91,6 +92,7 @@ def render_train_batch(
         second_march_cap=second_march_cap,
         secondary_use_baked=secondary_use_baked,
         secondary_bake_reso=secondary_bake_reso,
+        second_window=second_window,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)
 

@@ -142,6 +142,70 @@ def test_pair_select_compact_matches_topk():
                                    rtol=1e-4, err_msg=name)
 
 
+def test_secondary_window_matches_full():
+    """Interval-culled (windowed) secondary march matches the full baked
+    march: the conservative coarse-occupancy prepass only skips samples
+    whose density is below the feature threshold (sigma < 5e-5)."""
+    from tensoir_tpu.models import field as F
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(5)
+    N = 64
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = jnp.asarray(d)
+    lidx = jnp.zeros(N, jnp.int32)
+
+    baked = F.bake_packed_sigma_grid(cfg, params, scene)
+    coarse = F.bake_coarse_occupancy(baked, reso=16)
+
+    kw = dict(n_sample=64, vis_near=0.05, vis_far=1.5, app_cap=8,
+              app_pair_cap=48)
+    nerv_f, nf_f, ind_f = compute_radiance(cfg, params, scene, pts, dirs,
+                                           lidx, baked=baked, **kw)
+    nerv_w, nf_w, ind_w = compute_radiance(cfg, params, scene, pts, dirs,
+                                           lidx, baked=baked, coarse=coarse,
+                                           window=56, prepass_n=24, **kw)
+    np.testing.assert_allclose(np.asarray(nerv_w), np.asarray(nerv_f),
+                               atol=6e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(nf_w), np.asarray(nf_f),
+                               atol=6e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ind_w), np.asarray(ind_f),
+                               atol=6e-3, rtol=1e-2)
+
+    t_f = compute_transmittance(cfg, params, scene, pts, dirs,
+                                n_sample=64, baked=baked)
+    t_w = compute_transmittance(cfg, params, scene, pts, dirs,
+                                n_sample=64, baked=baked, coarse=coarse,
+                                window=56, prepass_n=24)
+    np.testing.assert_allclose(np.asarray(t_w[0]), np.asarray(t_f[0]),
+                               atol=6e-3, rtol=1e-3)
+
+
+def test_secondary_tiled_window_runs():
+    """secondary_shading_tiled with window enabled: shapes + closeness."""
+    from tensoir_tpu.render.secondary import secondary_shading_tiled
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(6)
+    P, L = 16, 8
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (P, 3)).astype(np.float32))
+    d = rng.normal(size=(P, L, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = jnp.asarray(d)
+    lidx = jnp.zeros(P, jnp.int32)
+    mask = jnp.ones((P, L), bool)
+    kw = dict(n_sample=64, vis_near=0.05, vis_far=1.5, tile=64, app_cap=8)
+    vis_f, ind_f = secondary_shading_tiled(cfg, params, scene, pts, dirs,
+                                           lidx, mask, **kw)
+    vis_w, ind_w = secondary_shading_tiled(cfg, params, scene, pts, dirs,
+                                           lidx, mask, window=56,
+                                           prepass_n=24, **kw)
+    np.testing.assert_allclose(np.asarray(vis_w), np.asarray(vis_f),
+                               atol=6e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ind_w), np.asarray(ind_f),
+                               atol=6e-3, rtol=1e-2)
+
+
 def test_secondary_tiled_coarse_bake():
     """Coarse visibility bake (secondary_bake_reso) stays close to the
     full-resolution bake."""

@@ -78,6 +78,51 @@ def test_sharded_step_matches_single_device(n_dev):
                                    err_msg=k)
 
 
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_relight_sharded_step_matches_single_device(n_dev):
+    """Shard invariance of the FULL relight step (VERDICT r1 item 3).
+
+    relight_ray_cap >= batch so every ray is relit under any shard layout
+    (per-shard capping then selects all local rays) and the masked BRDF
+    mean reduces identically; deterministic=True removes march jitter and
+    light-dir sampling randomness."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    cfg, params, scene = _setup()
+    B = 32
+    batch = _batch(B)
+    st = StepStatic(n_samples=16, is_relight=True, white_bg=True, app_cap=8,
+                    relight_ray_cap=B, second_n_sample=8, secondary_tile=64,
+                    second_march_cap=8, deterministic=True)
+    w = LossWeights(ortho=1e-3, l1=8e-5, lr_factor=0.999, n_iters=100,
+                    relight_start=0)
+
+    def run(mesh):
+        optimizer = make_optimizer(params, 0.02, 1e-3, 0.999)
+        opt_state = optimizer.init(params)
+        step = make_train_step(cfg, optimizer, st, w, mesh=mesh, donate=False)
+        p, s = params, opt_state
+        if mesh is not None:
+            p = replicate(mesh, p)
+            s = replicate(mesh, s)
+            b = shard_batch(mesh, batch)
+            sc = replicate(mesh, scene)
+        else:
+            b, sc = batch, scene
+        for i in range(2):
+            p, s, m = step(p, s, sc, b, jax.random.PRNGKey(7 + i),
+                           jnp.asarray(i))
+        return jax.tree.map(np.asarray, p), float(m["total_loss"])
+
+    p1, loss1 = run(None)
+    pn, lossn = run(make_mesh(n_dev))
+    assert np.isfinite(loss1) and np.isfinite(lossn)
+    np.testing.assert_allclose(loss1, lossn, rtol=2e-4, atol=2e-5)
+    for k in ("density_plane_0", "app_plane_0", "basis_mat", "light_line"):
+        np.testing.assert_allclose(p1[k], pn[k], rtol=2e-3, atol=2e-5,
+                                   err_msg=k)
+
+
 def test_relight_sharded_step_runs():
     if len(jax.devices()) < 4:
         pytest.skip("not enough devices")
