@@ -44,7 +44,7 @@ def make_scatter_add(R: int, C: int, chunk: int, interpret: bool):
             out_ref[pl.ds(r, 1), :] += val_ref[pl.ds(i, 1), :]
             return carry
 
-        jax.lax.fori_loop(0, chunk, body, 0, unroll=8)
+        jax.lax.fori_loop(0, chunk, body, 0)
 
     @jax.jit
     def scatter_add(idx, val):
@@ -81,7 +81,7 @@ def make_gather(R: int, C: int, chunk: int, interpret: bool):
             out_ref[pl.ds(i, 1), :] = tab_ref[pl.ds(r, 1), :]
             return carry
 
-        jax.lax.fori_loop(0, chunk, body, 0, unroll=8)
+        jax.lax.fori_loop(0, chunk, body, 0)
 
     @jax.jit
     def gather(idx, tab):

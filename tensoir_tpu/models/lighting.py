@@ -215,6 +215,28 @@ def get_light_rgbs(light_params, cfg, dirs, gt_envmap=None):
 
 # ---------------------------------------------------- importance sampling
 
+def gen_light_incident_dirs_importance(light_params, cfg, key,
+                                       sample_number: int,
+                                       light_idx: int = 0,
+                                       env_h: int = 128, env_w: int = 256,
+                                       gt_envmap=None):
+    """Importance-sample incident dirs from the LEARNED environment light.
+
+    The reference's `gen_light_incident_dirs(method='importance_sample')`
+    (tensorBase_rotated_lights.py:546-574): render the learned light on a
+    jittered 128x256 lat-long grid, build pdf ∝ intensity * sin(theta),
+    draw `sample_number` dirs by multinomial, and return
+    (light_dir [n,3], light_rgb [n,3], light_pdf [n,1]).
+    """
+    k_jit, k_draw = jax.random.split(key)
+    dirs = stratified_dirs(k_jit, env_h, env_w)      # is_jittor=True grid
+    env = get_light_rgbs(light_params, cfg, jnp.asarray(dirs),
+                         gt_envmap=gt_envmap)[light_idx]
+    env = jax.lax.stop_gradient(env).reshape(env_h, env_w, 3)
+    return importance_sample_env(k_draw, env, jnp.asarray(dirs),
+                                 sample_number)
+
+
 def importance_sample_env(key, env_map, env_dirs, n_samples: int):
     """Draw light dirs ~ intensity * sin(theta) via CDF inversion.
 

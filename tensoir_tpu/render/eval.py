@@ -29,7 +29,8 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
                        app_cap: int = 64, relight_ray_cap: int = 0,
                        second_n_sample: int = 96, second_near: float = 0.05,
                        second_far: float = 1.5, secondary_tile: int = 16384,
-                       march_cap: int = 256, second_march_cap: int = 48):
+                       march_cap: int = 256, second_march_cap: int = 48,
+                       ndc_ray: bool = False):
     """Jitted fixed-size chunk renderer (eval: no jitter, fixed envmap dirs).
 
     lru_cache'd on the static configuration so periodic in-training evals
@@ -49,7 +50,8 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
             march_cap=march_cap, second_march_cap=second_march_cap,
             relight_ray_cap=relight_ray_cap,
             second_n_sample=second_n_sample, second_near=second_near,
-            second_far=second_far, secondary_tile=secondary_tile)
+            second_far=second_far, secondary_tile=secondary_tile,
+            ndc_ray=ndc_ray)
 
     return chunk_fn, chunk
 
@@ -117,6 +119,7 @@ def evaluation_iter(
     second_n_sample: int = 96,
     secondary_tile: int = 16384,
     light_idx_to_test: int = 0,
+    ndc_ray: bool = False,
     logger=None,
     log_step: int = 0,
 ) -> Dict[str, float]:
@@ -135,7 +138,8 @@ def evaluation_iter(
     chunk_fn, chunk = make_eval_chunk_fn(
         cfg, n_samples=n_samples, chunk=chunk, white_bg=white_bg,
         app_cap=app_cap, relight_ray_cap=relight_ray_cap,
-        second_n_sample=second_n_sample, secondary_tile=secondary_tile)
+        second_n_sample=second_n_sample, secondary_tile=secondary_tile,
+        ndc_ray=ndc_ray)
 
     # --- environment-map strip (renderer.py:183-202; the general-multi
     # variant stacks ALL learned lights, renderer.py:838-861) ---

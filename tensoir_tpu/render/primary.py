@@ -135,6 +135,7 @@ def render_rays(
     white_bg: bool = True,
     app_cap: int = 32,
     march_cap: int = 0,   # 0 = dense march; >0 = occupancy-culled marching
+    ndc_ray: bool = False,
     normal_gt: Optional[jax.Array] = None,  # [B, 3] for 'gt_normals'
 ) -> Dict[str, jax.Array]:
     B = rays.shape[0]
@@ -149,10 +150,23 @@ def render_rays(
     else:
         k_march = k_bg = k_jit = None
 
-    xyz, z_vals, ray_valid = sample_ray(
-        rays_o, viewdirs, aabb, near, far, step, n_samples,
-        key=k_march if is_train else None)
-    dists = z_to_dists(z_vals)
+    if ndc_ray:
+        # forward-facing NDC marching (tensorBase_rotated_lights.py:872-877):
+        # uniform z in [near, far], dists scaled by the unnormalized ray
+        # norm, viewdirs normalized afterwards
+        from tensoir_tpu.ops.rays import sample_ray_ndc
+        xyz, z_vals, ray_valid = sample_ray_ndc(
+            rays_o, viewdirs, aabb, near, far, n_samples,
+            key=k_march if is_train else None)
+        dists = z_to_dists(z_vals)
+        rays_norm = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+        dists = dists * rays_norm
+        viewdirs = viewdirs / jnp.maximum(rays_norm, 1e-12)
+    else:
+        xyz, z_vals, ray_valid = sample_ray(
+            rays_o, viewdirs, aabb, near, far, step, n_samples,
+            key=k_march if is_train else None)
+        dists = z_to_dists(z_vals)
 
     coords = F.normalize_coord(aabb, xyz)                      # [B, S, 3]
 

@@ -37,6 +37,7 @@ def render_train_batch(
     secondary_use_baked: bool = True,
     secondary_bake_reso: int = 0,
     second_window: int = 0,
+    ndc_ray: bool = False,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
     second_near: float = 0.05,
@@ -53,7 +54,7 @@ def render_train_batch(
         cfg, params, scene, rays, light_idx,
         n_samples=n_samples, key=k_fwd, is_train=is_train,
         is_relight=is_relight, white_bg=white_bg, app_cap=app_cap,
-        march_cap=march_cap, normal_gt=normal_gt)
+        march_cap=march_cap, ndc_ray=ndc_ray, normal_gt=normal_gt)
 
     if not is_relight:
         ret["rgb_with_brdf_map"] = jnp.ones_like(ret["rgb_map"])

@@ -237,7 +237,8 @@ def reconstruction(
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,
-            secondary_tile=cfg.secondary_tile)
+            secondary_tile=cfg.secondary_tile,
+            ndc_ray=bool(cfg.ndc_ray))
         w = LossWeights(
             ortho=cfg.Ortho_weight, l1=l1_weight,
             tv_density=tv_density, tv_app=tv_app,
@@ -343,7 +344,10 @@ def reconstruction(
             elif mesh is not None:
                 # later mask refreshes keep shapes; re-replicate the scene
                 scene = replicate(mesh, scene)
-            if len(update_am_list) > 1 and it == update_am_list[1]:
+            # reference gates this refilter on NDC mode
+            # (train_tensoIR.py:400: `if not args.ndc_ray and ...`)
+            if (not cfg.ndc_ray and len(update_am_list) > 1
+                    and it == update_am_list[1]):
                 keep = LC.filter_rays_bbox(all_rays, np.asarray(scene["aabb"]))
                 rays_f, rgbs_f, lidx_f = (all_rays[keep], all_rgbs[keep],
                                           all_lidx[keep])

@@ -56,6 +56,7 @@ class StepStatic:
     secondary_use_baked: bool = True  # baked sigma grid for visibility
     secondary_bake_reso: int = 0      # coarse-bake cap (0 = full reso)
     second_window: int = 0            # interval-culled secondary march
+    ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
     second_n_sample: int = 96
     second_near: float = 0.05
@@ -78,6 +79,7 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         secondary_use_baked=st.secondary_use_baked,
         secondary_bake_reso=st.secondary_bake_reso,
         second_window=st.second_window,
+        ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,
         second_n_sample=st.second_n_sample, second_near=st.second_near,
         second_far=st.second_far, secondary_tile=st.secondary_tile,

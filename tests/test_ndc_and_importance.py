@@ -1,0 +1,144 @@
+"""NDC marching branch + learned-light importance sampling.
+
+Covers the two config knobs the round-1 verdict flagged as silently ignored:
+- `ndc_ray` forward branch (reference tensorBase_rotated_lights.py:694-703,
+  872-877): uniform z in [near, far], dists scaled by the unnormalized ray
+  norm, viewdirs normalized after.
+- `gen_light_incident_dirs('importance_sample')` for the LEARNED light
+  (reference tensorBase_rotated_lights.py:546-574).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tensoir_tpu.models.field import FieldConfig, init_field_params
+from tensoir_tpu.models.lighting import gen_light_incident_dirs_importance
+from tensoir_tpu.ops.rays import sample_ray_ndc
+from tensoir_tpu.render.primary import render_rays
+from tensoir_tpu.train.step import LossWeights, StepStatic, compute_loss
+
+
+def _tiny_model(**kw):
+    cfg = FieldConfig(
+        density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4), app_dim=6,
+        shading_mode="MLP_Fea", normals_kind="purely_derived",
+        light_kind="sg", num_sgs=16, envmap_h=4, envmap_w=8,
+        feature_c=32, step_ratio=2.0, **kw)
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    params, scene = init_field_params(
+        jax.random.PRNGKey(0), cfg, (16, 16, 16), aabb)
+    return cfg, params, scene
+
+
+def _rays(n=16, d_scale=1.0):
+    rng = np.random.default_rng(0)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = -4.0
+    d = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+    d[:, 2] = 1.0
+    return jnp.asarray(np.concatenate([o, d * d_scale], -1))
+
+
+def test_sample_ray_ndc_semantics():
+    """Deterministic path: z is the shared linspace(near, far); xyz lies on
+    the (unnormalized) ray; validity is the aabb box test — matching
+    sample_ray_ndc (tensorBase_rotated_lights.py:694-703)."""
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], jnp.float32)
+    o = jnp.asarray([[0.0, 0.0, -0.5]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)   # NOT unit norm
+    xyz, z, valid = sample_ray_ndc(o, d, aabb, 0.0, 1.0, 5, key=None)
+    np.testing.assert_allclose(np.asarray(z)[0],
+                               np.linspace(0.0, 1.0, 5), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(xyz)[0, :, 2],
+        -0.5 + 2.0 * np.linspace(0.0, 1.0, 5), atol=1e-6)
+    # last sample exits the box (z = 1.5 > 1.0)
+    assert np.asarray(valid)[0].tolist() == [True, True, True, True, False]
+
+    # jittered path stays within one bin of the deterministic grid
+    xyz_j, z_j, _ = sample_ray_ndc(o, d, aabb, 0.0, 1.0, 5,
+                                   key=jax.random.PRNGKey(0))
+    dz = np.asarray(z_j)[0] - np.linspace(0.0, 1.0, 5)
+    assert (dz >= 0).all() and (dz <= 1.0 / 5 + 1e-6).all()
+
+
+def test_render_rays_ndc_runs_and_uses_z_grid():
+    """ndc branch must (a) run finite, (b) march the NDC z grid: depth_map
+    is an alpha-weighted mean of z in [near, far] (the scene near/far),
+    NOT metric ray distance — so it stays in [near, far] for any |d|
+    (tensorBase_rotated_lights.py:872-877). Also assert the branch actually
+    diverges from the euclidean march."""
+    # NDC convention: warped rays march z in [0, 1]
+    cfg, params, scene = _tiny_model(near_far=(0.0, 1.0))
+    # seed density so there's something to hit
+    params["density_plane_0"] = params["density_plane_0"] + 2.0
+    near, far = cfg.near_far
+
+    rng = np.random.default_rng(0)
+    o = rng.uniform(-0.4, 0.4, size=(16, 3)).astype(np.float32)
+    o[:, 2] = -0.8
+    d = rng.normal(size=(16, 3)).astype(np.float32) * 0.05
+    d[:, 2] = 1.5   # unnormalized on purpose — ndc uses the norm as dist scale
+    rays = jnp.asarray(np.concatenate([o, d], -1))
+    out_ndc = render_rays(
+        cfg, params, scene, rays, jnp.zeros(16, jnp.int32), n_samples=24,
+        key=None, is_train=False, is_relight=False, white_bg=True,
+        app_cap=8, ndc_ray=True)
+    out_euc = render_rays(
+        cfg, params, scene, rays, jnp.zeros(16, jnp.int32), n_samples=24,
+        key=None, is_train=False, is_relight=False, white_bg=True,
+        app_cap=8, ndc_ray=False)
+    for k in ("rgb_map", "depth_map", "acc_map"):
+        assert np.isfinite(np.asarray(out_ndc[k])).all(), k
+    acc = np.asarray(out_ndc["acc_map"])
+    depth = np.asarray(out_ndc["depth_map"])
+    assert (acc >= 0).all() and (acc <= 1 + 1e-5).all()
+    # depth = sum(w * z) + (1-acc) * d_z  (reference's bg depth fill);
+    # the in-grid part is bounded by the NDC z grid, not metric distance
+    in_grid = depth - (1.0 - acc) * np.asarray(rays)[:, -1]
+    assert (in_grid <= far * acc + 1e-4).all()
+    assert (in_grid >= near * acc - 1e-4).all()
+    # the branch is live: euclidean and ndc marches disagree
+    assert not np.allclose(np.asarray(out_ndc["rgb_map"]),
+                           np.asarray(out_euc["rgb_map"]), atol=1e-4)
+
+
+def test_ndc_reaches_train_step():
+    cfg, params, scene = _tiny_model()
+    batch = {
+        "rays": _rays(),
+        "rgbs": jnp.ones((16, 3)) * 0.5,
+        "light_idx": jnp.zeros(16, jnp.int32),
+    }
+    st = StepStatic(n_samples=16, is_relight=False, white_bg=True,
+                    app_cap=8, ndc_ray=True)
+    w = LossWeights(ortho=0.0, l1=0.0, tv_density=0.0, tv_app=0.0,
+                    lr_factor=0.999, n_iters=100, relight_start=0)
+    total, aux = compute_loss(cfg, params, scene, batch,
+                              jax.random.PRNGKey(2), jnp.asarray(1), st, w)
+    assert np.isfinite(float(total))
+
+
+def test_learned_light_importance_sampler():
+    """Reference gen_light_incident_dirs('importance_sample')
+    (tensorBase_rotated_lights.py:546-574): draws dirs ~ learned-env
+    intensity * sin(theta). Check shapes, unit norm, positive pdf, and that
+    samples concentrate toward the brightest SG lobe."""
+    cfg, params, scene = _tiny_model()
+    # one dominant SG lobe toward +z: lobe xyz, lambda, mu rgb
+    sgs = np.array(params["lgt_sgs"])
+    sgs[0] = [0.0, 0.0, 1.0, 8.0, 20.0, 20.0, 20.0]
+    lp = dict(params)
+    lp["lgt_sgs"] = jnp.asarray(sgs)
+
+    n = 512
+    d, rgb, pdf = gen_light_incident_dirs_importance(
+        lp, cfg, jax.random.PRNGKey(1), n, env_h=32, env_w=64)
+    assert d.shape == (n, 3) and rgb.shape == (n, 3) and pdf.shape == (n, 1)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1),
+                               1.0, atol=1e-4)
+    assert (np.asarray(pdf) > 0).all()
+    assert np.isfinite(np.asarray(rgb)).all()
+    # concentration: mean z-component of sampled dirs should lean toward
+    # the bright lobe direction (+z) vs a uniform draw (mean 0)
+    assert float(np.asarray(d)[:, 2].mean()) > 0.15

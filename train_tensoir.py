@@ -103,7 +103,8 @@ def main(argv=None):
             save_path=os.path.join(logfolder, "imgs_test_all"),
             chunk=cfg.batch_size_test, test_all=True,
             second_n_sample=cfg.second_nSample,
-            secondary_tile=cfg.secondary_tile)
+            secondary_tile=cfg.secondary_tile,
+            ndc_ray=bool(cfg.ndc_ray))
         print(results)
         return
 
@@ -123,6 +124,7 @@ def main(argv=None):
                 n_vis=cfg.N_vis, compute_extra_metrics=False,
                 second_n_sample=cfg.second_nSample,
                 secondary_tile=cfg.secondary_tile,
+                ndc_ray=bool(cfg.ndc_ray),
                 logger=logger, log_step=it)
             print(f"[eval @{it}] {results}")
         except Exception as e:
@@ -151,7 +153,8 @@ def main(argv=None):
                 chunk=cfg.batch_size_test, test_all=True,
                 second_n_sample=cfg.second_nSample,
                 secondary_tile=cfg.secondary_tile,
-                light_idx_to_test=li)
+                light_idx_to_test=li,
+                ndc_ray=bool(cfg.ndc_ray))
             print(f"======> {cfg.expname} test all{suffix}: {results}")
 
 
