@@ -1,0 +1,108 @@
+"""A/B the interval-culled secondary march (`second_window`) and the
+`relight_ray_cap` at bench.py's canonical config (scalar-synced).
+
+Produces the numbers for two round-2 verdict items:
+- whether bench.py should adopt second_window (step-ms per window value)
+- the cap-1024-vs-4096 throughput half of the relight_ray_cap A/B
+  (reference relights every acc-masked ray, renderer.py:86-107).
+
+Run detached on the TPU (CLAUDE.md: never under timeout):
+  nohup python scripts/ablate_window_cap.py > /tmp/ablate_wc.log 2>&1 &
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+    from tensoir_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
+    from tensoir_tpu.models.field import FieldConfig, init_field_params
+    from tensoir_tpu.models.lifecycle import update_alpha_mask
+    from tensoir_tpu.train.optim import make_optimizer
+    from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
+
+    platform = jax.devices()[0].platform
+    B, GRID, N_SAMPLES = 4096, 200, 700
+    ENV_H, ENV_W, SECOND_N, TILE = 16, 32, 96, 32768
+    MASK_RESO = 128
+    if platform == "cpu":
+        B, GRID, N_SAMPLES = 256, 48, 64
+        ENV_H, ENV_W, SECOND_N, TILE = 4, 8, 16, 1024
+        MASK_RESO = 24
+
+    cfg = FieldConfig(density_n_comp=(16, 16, 16), app_n_comp=(48, 48, 48),
+                      app_dim=27, shading_mode="MLP_Fea",
+                      normals_kind="derived_plus_predicted", light_kind="sg",
+                      num_sgs=128, envmap_h=ENV_H, envmap_w=ENV_W,
+                      feature_c=128, step_ratio=0.5)
+    aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    params, scene = init_field_params(
+        jax.random.PRNGKey(0), cfg, (GRID, GRID, GRID), aabb)
+    for i in range(3):
+        g = params[f"density_plane_{i}"]
+        H, W, _ = g.shape
+        yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                             indexing="ij")
+        bump = np.exp(-((xx ** 2 + yy ** 2) / 0.18)).astype(np.float32)
+        params[f"density_plane_{i}"] = g + 5.0 * jnp.asarray(bump)[..., None]
+    scene, _ = update_alpha_mask(cfg, params, scene, (MASK_RESO,) * 3)
+
+    optimizer = make_optimizer(params, 0.02, 1e-3, 0.999971)
+    opt_state = optimizer.init(params)
+    w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
+                    lr_factor=0.999971, n_iters=80000, relight_start=10000)
+
+    rng = np.random.default_rng(0)
+    o = np.zeros((B, 3), np.float32)
+    o[:, 2] = -4.0
+    d = rng.normal(size=(B, 3)).astype(np.float32) * 0.15
+    d[:, 2] = 1.0
+    batch = {"rays": jnp.asarray(np.concatenate([o, d], -1)),
+             "rgbs": jnp.full((B, 3), 0.5, jnp.float32),
+             "light_idx": jnp.zeros((B,), jnp.int32)}
+    key = jax.random.PRNGKey(1)
+    n_iters = 8 if platform != "cpu" else 2
+
+    def run(name, window, cap):
+        if platform == "cpu":
+            window = min(window, 12)
+            cap = min(cap, 64)
+        st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
+                        app_cap=32, relight_ray_cap=cap,
+                        march_cap=192, second_march_cap=32,
+                        secondary_use_baked=True, secondary_bake_reso=128,
+                        second_window=window,
+                        second_n_sample=SECOND_N, secondary_tile=TILE)
+        step_fn = make_train_step(cfg, optimizer, st, w, donate=False)
+        m = step_fn(params, opt_state, scene, batch, key, jnp.asarray(0))[2]
+        loss0 = float(m["total_loss"])
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            m = step_fn(params, opt_state, scene, batch,
+                        jax.random.fold_in(key, i + 1), jnp.asarray(i + 1))[2]
+        _ = float(m["total_loss"])
+        ms = (time.perf_counter() - t0) / n_iters * 1e3
+        rays = B + cap * ENV_H * ENV_W
+        print(json.dumps({"phase": name, "ms": round(ms, 1),
+                          "rays_per_s": round(rays / (ms / 1e3)),
+                          "loss0": round(loss0, 5)}), flush=True)
+
+    run("w0_cap1024", 0, 1024)
+    run("w56_cap1024", 56, 1024)
+    run("w48_cap1024", 48, 1024)
+    run("w0_cap4096", 0, 4096)
+    run("w56_cap4096", 56, 4096)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -179,6 +179,7 @@ def evaluation_iter(
             chunk_fn, chunk, params, scene, test_dataset)
 
     psnrs, psnrs_brdf, ssims, ssims_brdf = [], [], [], []
+    lpipss: Dict[str, list] = {}
     maes, albedo_single_sq, albedo_three_sq = [], [], []
     rgb_frames, brdf_frames, normal_frames = [], [], []
 
@@ -203,6 +204,14 @@ def evaluation_iter(
         if compute_extra_metrics:
             ssims.append(M.rgb_ssim(rgb_map, gt_rgb))
             ssims_brdf.append(M.rgb_ssim(brdf_map, gt_rgb))
+            # alex+vgg LPIPS per view (renderer.py:455-470); None offline
+            for net in ("alex", "vgg"):
+                lp = M.rgb_lpips(gt_rgb, rgb_map, net)
+                if lp is not None:
+                    lpipss.setdefault(f"lpips_{net}", []).append(lp)
+                lp = M.rgb_lpips(gt_rgb, brdf_map, net)
+                if lp is not None:
+                    lpipss.setdefault(f"lpips_{net}_brdf", []).append(lp)
 
         if "normals" in item:
             gt_n = np.asarray(item["normals"]).reshape(H, W, 3)
@@ -272,6 +281,8 @@ def evaluation_iter(
     if ssims:
         results["ssim_nvs"] = float(np.mean(ssims))
         results["ssim_nvs_brdf"] = float(np.mean(ssims_brdf))
+    for k, v in lpipss.items():
+        results[k] = float(np.mean(v))
     if maes:
         results["normal_mae_deg"] = float(np.mean(maes))
     if albedo_single_sq:

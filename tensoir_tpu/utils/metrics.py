@@ -60,22 +60,26 @@ def normal_mae_deg(pred, gt) -> float:
 
 
 def rgb_lpips(gt, im, net_name="alex"):
-    """LPIPS is eval-only and optional (lpips package absent -> None);
-    wraps the torch-CPU implementation when available (utils.py:69-81)."""
-    try:
-        import lpips  # type: ignore
-        import torch
-    except ImportError:
+    """LPIPS v0.1 (reference utils.py:69-81), via the native JAX port
+    (utils/lpips_jax.py — golden-tested vs a live torch re-implementation).
+
+    The trained AlexNet/VGG weights are not redistributable and absent
+    from this offline image, so this returns None unless a converted
+    weights file is found ($TENSOIR_LPIPS_WEIGHTS or ./lpips_<net>.npz;
+    see scripts/convert_lpips_weights.py and the BASELINE.md LPIPS note).
+    """
+    from tensoir_tpu.utils import lpips_jax
+    path = lpips_jax.find_weights(net_name)
+    if path is None:
         return None
-    key = f"_net_{net_name}"
+    key = f"_params_{net_name}"
     if not hasattr(rgb_lpips, key):
-        setattr(rgb_lpips, key,
-                lpips.LPIPS(net=net_name, version="0.1").eval())
-    net = getattr(rgb_lpips, key)
-    gt_t = torch.from_numpy(np.asarray(gt, np.float32)).permute(2, 0, 1)
-    im_t = torch.from_numpy(np.asarray(im, np.float32)).permute(2, 0, 1)
-    with torch.no_grad():
-        return float(net(gt_t, im_t, normalize=True).item())
+        setattr(rgb_lpips, key, lpips_jax.load_lpips_params(path)[0])
+    params = getattr(rgb_lpips, key)
+    d = lpips_jax.lpips_distance(params, np.asarray(gt, np.float32),
+                                 np.asarray(im, np.float32), net=net_name,
+                                 normalize=True)
+    return float(np.asarray(d)[0])
 
 
 def visualize_depth(depth, minmax=None):
