@@ -41,7 +41,15 @@ class SyntheticSphereDataset:
     def __init__(self, split="train", n_views=8, img_wh=(64, 64),
                  radius=0.6, albedo=(0.8, 0.3, 0.2),
                  light_dir=(0.5, 0.3, 0.8), ambient=0.25,
-                 cam_radius=4.0, light_num=1, seed=0):
+                 cam_radius=4.0, light_num=1, seed=0, srgb_images=True):
+        # srgb_images: emit sRGB-encoded images like the reference's PNG
+        # renders (dataLoader/tensoIR*.py reads 8-bit PNGs, which are
+        # sRGB-encoded radiance). The physically-based branch outputs
+        # linear2srgb(radiance) (relight_utils.py:489-515), so LINEAR
+        # training images would force an inverse-gamma into the learned
+        # albedo — measured -14 dB albedo PSNR on the flagship demo
+        # before this default was fixed (round-2 diagnosis).
+        self.srgb_images = srgb_images
         self.split = split
         self.img_wh = img_wh
         self.white_bg = True
@@ -99,6 +107,15 @@ class SyntheticSphereDataset:
         self.n_views = n_views
         self._per_view = light_num
 
+    def _encode(self, rgb_linear):
+        """sRGB transfer (reference PNG convention) when srgb_images."""
+        if not self.srgb_images:
+            return rgb_linear
+        x = np.clip(rgb_linear, 0.0, 1.0)
+        lin = x * 12.92
+        nonlin = 1.055 * np.power(x + 1e-6, 1.0 / 2.4) - 0.055
+        return np.where(x <= 0.0031308, lin, nonlin)
+
     def _render_gt(self, rays_o, rays_d):
         hit, t = _sphere_hit(rays_o, rays_d, np.zeros(3), self.radius)
         pts = rays_o + t[:, None] * rays_d
@@ -106,7 +123,7 @@ class SyntheticSphereDataset:
                                   1e-8)
         lambert = np.clip(np.sum(normal * self.light_dir, -1), 0, None)
         shade = self.ambient + (1 - self.ambient) * lambert
-        rgb = self.albedo[None] * shade[:, None]
+        rgb = self._encode(self.albedo[None] * shade[:, None])
         rgb = np.where(hit[:, None], rgb, 1.0).astype(np.float32)
         normal = np.where(hit[:, None], normal, 0.0).astype(np.float32)
         depth = np.where(hit, t, 0.0).astype(np.float32)
@@ -205,7 +222,7 @@ class SyntheticShadowDataset(SyntheticSphereDataset):
 
         lambert = np.clip(np.sum(normal * self.light_dir, -1), 0, None)
         shade = self.ambient + (1 - self.ambient) * lambert * lit
-        rgb = albedo * shade[:, None]
+        rgb = self._encode(albedo * shade[:, None])
         rgb = np.where(hit[:, None], rgb, 1.0).astype(np.float32)
         normal = np.where(hit[:, None], normal, 0.0).astype(np.float32)
         depth = np.where(hit, t, 0.0).astype(np.float32)
