@@ -73,16 +73,29 @@ def build_pair():
     import types
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        tv.__path__ = []        # mark as package so submodule imports work
         tvt = types.ModuleType("torchvision.transforms")
         tvt.ToTensor = object
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.save_image = None
+        tvu.make_grid = None
         tv.transforms = tvt
+        tv.utils = tvu
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.utils"] = tvu
     if "plyfile" not in sys.modules:
         ply = types.ModuleType("plyfile")
         ply.PlyData = object
         ply.PlyElement = object
         sys.modules["plyfile"] = ply
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        skm = types.ModuleType("skimage.measure")
+        skm.marching_cubes = None
+        sk.measure = skm
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.measure"] = skm
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from models.tensoRF_rotated_lights import TensorVMSplit
