@@ -30,6 +30,12 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--bake_reso", type=int, default=0,
                         help="coarse secondary-visibility bake cap (0=full)")
+    parser.add_argument("--window", type=int, default=0,
+                        help="interval-culled secondary march window (0=off)")
+    parser.add_argument("--compact", type=float, default=0.0,
+                        help="hemisphere-pair compaction fraction (0=off)")
+    parser.add_argument("--relight_cap", type=int, default=512,
+                        help="surface rays fed to the relight branch")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.compile_cache import enable as _cc
@@ -73,7 +79,9 @@ def main(argv=None):
         app_cap_per_ray=32,
         march_cap_primary=192,
         march_cap_secondary=32,
-        relight_ray_cap=512,
+        relight_ray_cap=args.relight_cap,
+        second_window=args.window,
+        secondary_compact_frac=args.compact,
         secondary_tile=32768,
         secondary_bake_reso=args.bake_reso,
         vis_every=0,

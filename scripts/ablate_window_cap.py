@@ -72,7 +72,7 @@ def main():
     key = jax.random.PRNGKey(1)
     n_iters = 8 if platform != "cpu" else 2
 
-    def run(name, window, cap):
+    def run(name, window, cap, compact=0.0):
         if platform == "cpu":
             window = min(window, 12)
             cap = min(cap, 64)
@@ -81,6 +81,7 @@ def main():
                         march_cap=192, second_march_cap=32,
                         secondary_use_baked=True, secondary_bake_reso=128,
                         second_window=window,
+                        secondary_compact_frac=compact,
                         second_n_sample=SECOND_N, secondary_tile=TILE)
         step_fn = make_train_step(cfg, optimizer, st, w, donate=False)
         m = step_fn(params, opt_state, scene, batch, key, jnp.asarray(0))[2]
@@ -96,11 +97,11 @@ def main():
                           "rays_per_s": round(rays / (ms / 1e3)),
                           "loss0": round(loss0, 5)}), flush=True)
 
-    run("w0_cap1024", 0, 1024)
-    run("w56_cap1024", 56, 1024)
-    run("w48_cap1024", 48, 1024)
-    run("w0_cap4096", 0, 4096)
-    run("w56_cap4096", 56, 4096)
+    run("w48_cap1024_c56", 48, 1024, 0.5625)
+    run("w48_cap4096_c56", 48, 4096, 0.5625)
+    run("w40_cap4096_c56", 40, 4096, 0.5625)
+    run("w48_cap4096", 48, 4096)
+    run("w0_cap1024_c56", 0, 1024, 0.5625)
     print("done", flush=True)
 
 

@@ -150,6 +150,15 @@ class TensoIRConfig:
     # coarse visibility-bake resolution cap (0 = bake at full grid reso);
     # smaller gather tables march faster at a small shadow-softness cost
     secondary_bake_reso: int = 0
+    # Interval-culled secondary march: coarse-occupancy prepass bounds the
+    # occupied span, fine march gathers only this many canonical samples
+    # (0 = full second_nSample march).
+    second_window: int = 0
+    # Hemisphere-pair compaction: march only cosine-valid (point, dir)
+    # pairs, compacted to ceil(P*L*frac) rows (0 = dense+mask). The
+    # reference likewise computes visibility only for unmasked pairs
+    # (relight_utils.py:439-450).
+    secondary_compact_frac: float = 0.0
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

@@ -273,6 +273,7 @@ def secondary_shading_tiled(
     bake_reso: int = 0,
     window: int = 0,
     prepass_n: int = 18,
+    compact_frac: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -280,6 +281,17 @@ def secondary_shading_tiled(
     but dense over the pair grid with masking, scanned in fixed tiles.
     Returns (visibility [P, L, 1], indirect [P, L, 3]); everything is
     stop_gradient'ed (the reference runs under torch.no_grad).
+
+    compact_frac > 0 enables hemisphere-pair compaction: only
+    cosine-masked-valid pairs are marched (the reference computes visibility
+    solely for unmasked pairs, relight_utils.py:439-450 — the dense version
+    here wastes ~half its rows on below-horizon dirs whose result is zeroed
+    anyway). Valid pairs are compacted to a fixed capacity of
+    ceil(P*L*compact_frac / tile) tiles via cumsum+scatter and results are
+    scattered back; with stratified/fixed lat-long dir sets the valid
+    fraction is ~0.5 per point, so the default canonical 0.5625 leaves
+    12.5% headroom (overflow pairs — only possible for pathological dir
+    sets — fall back to vis=0/indirect=0 and are counted nowhere else).
     """
     baked = None
     coarse = None
@@ -298,8 +310,23 @@ def secondary_shading_tiled(
     mask = pair_mask.reshape(-1)
 
     total = P * L
-    n_tiles = -(-total // tile)
-    pad = n_tiles * tile - total
+    compact = 0.0 < compact_frac < 1.0
+    if compact:
+        # hemisphere-pair compaction: march only cosine-valid pairs
+        cap = -(-int(total * compact_frac) // tile) * tile
+        cidx, cvalid = primary.compact_nonzero(mask, cap)
+        pts = jnp.take(pts, jnp.minimum(cidx, total - 1), axis=0)
+        dirs = jnp.take(dirs, jnp.minimum(cidx, total - 1), axis=0)
+        lidx = jnp.take(lidx, jnp.minimum(cidx, total - 1), axis=0)
+        mask = cvalid
+        n_rows = cap
+        app_pair_cap = tile // 2    # valid-pair density doubles per tile
+    else:
+        n_rows = total
+        app_pair_cap = tile // 4
+
+    n_tiles = -(-n_rows // tile)
+    pad = n_tiles * tile - n_rows
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0)))
         dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
@@ -316,13 +343,23 @@ def secondary_shading_tiled(
         nerv, _, ind = compute_radiance(
             cfg, params, scene, p, d, li,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
-            app_cap=app_cap, app_pair_cap=tile // 4,
+            app_cap=app_cap, app_pair_cap=app_pair_cap,
             march_cap=march_cap, baked=baked, coarse=coarse,
             window=window, prepass_n=prepass_n)
         mf = m.astype(nerv.dtype)
         return nerv * mf, ind * mf[..., None]
 
     vis, ind = jax.lax.map(one_tile, (pts, dirs, lidx, mask))
-    vis = vis.reshape(-1)[:total].reshape(P, L, 1)
-    ind = ind.reshape(-1, 3)[:total].reshape(P, L, 3)
+    if compact:
+        vis_c = vis.reshape(-1)
+        ind_c = ind.reshape(-1, 3)
+        vis = jnp.zeros((total,), vis_c.dtype).at[cidx].set(
+            vis_c[:cap], mode="drop")
+        ind = jnp.zeros((total, 3), ind_c.dtype).at[cidx].set(
+            ind_c[:cap], mode="drop")
+        vis = vis.reshape(P, L, 1)
+        ind = ind.reshape(P, L, 3)
+    else:
+        vis = vis.reshape(-1)[:total].reshape(P, L, 1)
+        ind = ind.reshape(-1, 3)[:total].reshape(P, L, 3)
     return jax.lax.stop_gradient(vis), jax.lax.stop_gradient(ind)

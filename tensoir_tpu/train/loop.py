@@ -234,6 +234,8 @@ def reconstruction(
             second_march_cap=cfg.march_cap_secondary,
             secondary_use_baked=cfg.secondary_use_baked,
             secondary_bake_reso=cfg.secondary_bake_reso,
+            second_window=cfg.second_window,
+            secondary_compact_frac=cfg.secondary_compact_frac,
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,

@@ -56,6 +56,7 @@ class StepStatic:
     secondary_use_baked: bool = True  # baked sigma grid for visibility
     secondary_bake_reso: int = 0      # coarse-bake cap (0 = full reso)
     second_window: int = 0            # interval-culled secondary march
+    secondary_compact_frac: float = 0.0  # hemisphere-pair compaction
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
     second_n_sample: int = 96
@@ -79,6 +80,7 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         secondary_use_baked=st.secondary_use_baked,
         secondary_bake_reso=st.secondary_bake_reso,
         second_window=st.second_window,
+        secondary_compact_frac=st.secondary_compact_frac,
         ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,
         second_n_sample=st.second_n_sample, second_near=st.second_near,

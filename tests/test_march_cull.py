@@ -226,3 +226,43 @@ def test_secondary_tiled_coarse_bake():
                                            lidx, mask, bake_reso=16, **kw)
     assert vis_c.shape == vis_f.shape and ind_c.shape == ind_f.shape
     assert float(jnp.mean(jnp.abs(vis_c - vis_f))) < 0.15
+
+
+def test_secondary_tiled_pair_compaction_exact():
+    """compact_frac marches only cosine-valid pairs; with sufficient
+    capacity the result must match the dense-masked path exactly (the
+    same per-pair march runs, just reordered)."""
+    from tensoir_tpu.render.secondary import secondary_shading_tiled
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(7)
+    P, L = 24, 16
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (P, 3)).astype(np.float32))
+    d = rng.normal(size=(P, L, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = jnp.asarray(d)
+    lidx = jnp.zeros(P, jnp.int32)
+    # a minority of pairs valid, like a hemisphere cosine mask; tile sized
+    # so neither path's app_pair_cap (tile//4 dense, tile//2 compact) binds
+    # — capacity-overflow behavior intentionally differs between the paths
+    mask = jnp.asarray(rng.uniform(size=(P, L)) < 0.3)
+    kw = dict(n_sample=32, vis_near=0.05, vis_far=1.5, tile=256, app_cap=8)
+    vis_f, ind_f = secondary_shading_tiled(cfg, params, scene, pts, dirs,
+                                           lidx, mask, **kw)
+    vis_c, ind_c = secondary_shading_tiled(cfg, params, scene, pts, dirs,
+                                           lidx, mask, compact_frac=0.6,
+                                           **kw)
+    np.testing.assert_allclose(np.asarray(vis_c), np.asarray(vis_f),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ind_c), np.asarray(ind_f),
+                               atol=1e-6, rtol=1e-5)
+    # composes with the interval-culled window march
+    vis_cw, ind_cw = secondary_shading_tiled(cfg, params, scene, pts, dirs,
+                                             lidx, mask, compact_frac=0.6,
+                                             window=28, prepass_n=16, **kw)
+    vis_w, ind_w = secondary_shading_tiled(cfg, params, scene, pts, dirs,
+                                           lidx, mask, window=28,
+                                           prepass_n=16, **kw)
+    np.testing.assert_allclose(np.asarray(vis_cw), np.asarray(vis_w),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ind_cw), np.asarray(ind_w),
+                               atol=1e-6, rtol=1e-5)
