@@ -7,9 +7,12 @@ single-light run after the first upsample (grid ~200^3, 4096-ray batches,
 512 incident light dirs, 96 secondary samples — configs/single_light/
 armadillo.txt + opt.py defaults).
 
-Counted rays per step = primary batch + secondary visibility rays
-(relight_ray_cap x envmap dirs), matching BASELINE.json's
-"primary+visibility rays/s/chip (fwd+bwd)".
+Counted rays per step = primary batch + REAL secondary visibility rays
+(min(measured acc-mask count, relight_ray_cap) x envmap dirs), matching
+BASELINE.json's "primary+visibility rays/s/chip (fwd+bwd)". The scene is
+a solid blob that absorbs ~97% of the ray bundle, and relight_ray_cap
+equals the batch size, so — like the reference (renderer.py:86-107) —
+every acc-masked ray is relit and every counted ray is real work.
 
 vs_baseline: the reference repo publishes no throughput (BASELINE.md). The
 denominator 1.5e6 rays/s is an estimate derived from the paper's reported
@@ -38,20 +41,24 @@ def main():
     from tensoir_tpu.profiling import RayThroughputMeter
     from tensoir_tpu.train.optim import make_optimizer
     from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
+    from tensoir_tpu.utils.bench_scene import bench_rays, seed_solid_blob
 
     platform = jax.devices()[0].platform
 
     B = 4096
     GRID = 200
     N_SAMPLES = 700
-    RELIGHT_CAP = 1024
+    RELIGHT_CAP = 4096     # reference relights EVERY acc-masked ray
     ENV_H, ENV_W = 16, 32
     SECOND_N = 96
     TILE = 32768
+    WINDOW = 48            # interval-culled secondary march
+    COMPACT = 0.5625       # hemisphere-pair compaction
 
     if platform == "cpu":  # CI / local smoke fallback
-        B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 32
+        B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 256
         ENV_H, ENV_W, SECOND_N, TILE = 4, 8, 16, 1024
+        WINDOW = 12
 
     cfg = FieldConfig(
         density_n_comp=(16, 16, 16),
@@ -69,16 +76,12 @@ def main():
     aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
     params, scene = init_field_params(
         jax.random.PRNGKey(0), cfg, (GRID, GRID, GRID), aabb)
-    # seed a blob of density + build a real alpha mask so occupancy matches
-    # mid-training structure (relight phase always has a mask)
-    lin = np.linspace(-1, 1, 64, dtype=np.float32)
-    for i in range(3):
-        g = params[f"density_plane_{i}"]
-        H, W, _ = g.shape
-        yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
-                             indexing="ij")
-        bump = np.exp(-((xx ** 2 + yy ** 2) / 0.18)).astype(np.float32)
-        params[f"density_plane_{i}"] = g + 5.0 * jnp.asarray(bump)[..., None]
+    # seed a SOLID blob + build a real alpha mask so occupancy matches
+    # mid-training structure (relight phase always has a mask). The blob
+    # must actually absorb the ray bundle: the reference only relights
+    # acc>0.5 rays, so counted visibility rays must be real surface rays
+    # (round-2 audit: the old plane-only bump left 2/4096 rays masked).
+    params = seed_solid_blob(params)
     from tensoir_tpu.models.lifecycle import update_alpha_mask
     mask_reso = 128 if platform != "cpu" else 24
     scene, _ = update_alpha_mask(cfg, params, scene,
@@ -92,18 +95,15 @@ def main():
                     march_cap=192, second_march_cap=32,
                     secondary_use_baked=True,
                     secondary_bake_reso=128,
+                    second_window=WINDOW,
+                    secondary_compact_frac=COMPACT,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)
     step_fn = make_train_step(cfg, optimizer, st, w, donate=False)
 
-    rng = np.random.default_rng(0)
-    o = np.zeros((B, 3), np.float32)
-    o[:, 2] = -4.0
-    d = rng.normal(size=(B, 3)).astype(np.float32) * 0.15
-    d[:, 2] = 1.0
     batch = {
-        "rays": jnp.asarray(np.concatenate([o, d], -1)),
+        "rays": jnp.asarray(bench_rays(B)),
         "rgbs": jnp.full((B, 3), 0.5, jnp.float32),
         "light_idx": jnp.zeros((B,), jnp.int32),
     }
@@ -121,9 +121,15 @@ def main():
         p, s, m = step_fn(p, s, scene, batch, sub, jnp.asarray(i))
     sync(m)
 
+    # honest visibility-ray count: the reference only relights acc-masked
+    # rays, so count min(measured mask count, cap) * light dirs — padded
+    # relight rows are NOT counted even though they burn compute
+    n_masked = int(m["n_acc_masked"])
+    vis_per_step = min(n_masked, RELIGHT_CAP) * ENV_H * ENV_W
+
     n_iters = 10 if platform != "cpu" else 3
     meter = RayThroughputMeter(primary_per_step=B,
-                               visibility_per_step=RELIGHT_CAP * ENV_H * ENV_W)
+                               visibility_per_step=vis_per_step)
     meter.start()
     for i in range(n_iters):
         key, sub = jax.random.split(key)
@@ -137,6 +143,8 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "primary+visibility rays/s/chip (fwd+bwd)",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+        "n_acc_masked": n_masked,
+        "relight_ray_cap": RELIGHT_CAP,
     }))
 
 

@@ -47,13 +47,8 @@ def main():
     aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
     params, scene = init_field_params(
         jax.random.PRNGKey(0), cfg, (GRID, GRID, GRID), aabb)
-    for i in range(3):
-        g = params[f"density_plane_{i}"]
-        H, W, _ = g.shape
-        yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
-                             indexing="ij")
-        bump = np.exp(-((xx ** 2 + yy ** 2) / 0.18)).astype(np.float32)
-        params[f"density_plane_{i}"] = g + 5.0 * jnp.asarray(bump)[..., None]
+    from tensoir_tpu.utils.bench_scene import bench_rays, seed_solid_blob
+    params = seed_solid_blob(params)
     scene, _ = update_alpha_mask(cfg, params, scene, (MASK_RESO,) * 3)
 
     optimizer = make_optimizer(params, 0.02, 1e-3, 0.999971)
@@ -61,12 +56,7 @@ def main():
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)
 
-    rng = np.random.default_rng(0)
-    o = np.zeros((B, 3), np.float32)
-    o[:, 2] = -4.0
-    d = rng.normal(size=(B, 3)).astype(np.float32) * 0.15
-    d[:, 2] = 1.0
-    batch = {"rays": jnp.asarray(np.concatenate([o, d], -1)),
+    batch = {"rays": jnp.asarray(bench_rays(B)),
              "rgbs": jnp.full((B, 3), 0.5, jnp.float32),
              "light_idx": jnp.zeros((B,), jnp.int32)}
     key = jax.random.PRNGKey(1)
@@ -92,16 +82,19 @@ def main():
                         jax.random.fold_in(key, i + 1), jnp.asarray(i + 1))[2]
         _ = float(m["total_loss"])
         ms = (time.perf_counter() - t0) / n_iters * 1e3
-        rays = B + cap * ENV_H * ENV_W
+        n_masked = int(m["n_acc_masked"])
+        rays = B + min(n_masked, cap) * ENV_H * ENV_W
         print(json.dumps({"phase": name, "ms": round(ms, 1),
                           "rays_per_s": round(rays / (ms / 1e3)),
+                          "n_acc_masked": n_masked,
                           "loss0": round(loss0, 5)}), flush=True)
 
-    run("w48_cap1024_c56", 48, 1024, 0.5625)
+    run("w0_cap1024", 0, 1024)            # round-1 canonical config
+    run("w48_cap1024", 48, 1024)
     run("w48_cap4096_c56", 48, 4096, 0.5625)
     run("w40_cap4096_c56", 40, 4096, 0.5625)
     run("w48_cap4096", 48, 4096)
-    run("w0_cap1024_c56", 0, 1024, 0.5625)
+    run("w56_cap4096_c56", 56, 4096, 0.5625)
     print("done", flush=True)
 
 

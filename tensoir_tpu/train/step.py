@@ -147,6 +147,11 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
 
     metrics["total_loss"] = total
     metrics["psnr"] = -10.0 * jnp.log(loss_rgb) / jnp.log(10.0)
+    if "acc_mask" in ret:
+        # how many rays the reference would relight (renderer.py:86-107);
+        # bench.py counts visibility rays as min(this, relight_ray_cap)*dirs
+        metrics["n_acc_masked"] = jnp.sum(
+            ret["acc_mask"].astype(jnp.float32))
     return total, metrics
 
 
