@@ -184,7 +184,9 @@ class TensoIRSimpleDataset:
     def __init__(self, root_dir, hdr_dir=None, split="train", downsample=1.0,
                  light_rotation=("000",), light_name="sunset",
                  scene_bbox=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
-                 sub=0, N_vis=-1, **_):
+                 sub=0, N_vis=-1, test_new_pose=False, n_orbit=150,
+                 orbit_pitch_deg=30.0, orbit_center_offset=(0.0, 0.0, 0.5),
+                 **_):
         self.root_dir = Path(root_dir)
         self.split = split
         self.downsample = downsample
@@ -211,6 +213,66 @@ class TensoIRSimpleDataset:
                 self.lights_probes = read_hdr(str(p))
         if split == "train":
             self._read_all_frames()
+        self.test_new_pose = bool(test_new_pose) and split == "test"
+        if self.test_new_pose:
+            self._make_orbit_poses(n_orbit, orbit_pitch_deg,
+                                   np.asarray(orbit_center_offset, np.float64))
+
+    def _make_orbit_poses(self, n_orbit, pitch_deg, center_offset):
+        """Synthetic orbit camera path for GT-free novel-view videos
+        (tensoIR_simple.py:84-155 `test_new_pose`): cameras on a circle
+        whose radius is the mean distance of this split's cameras from
+        their centroid, pitched down `pitch_deg`, blender-convention
+        directions. The reference hardcodes per-scene centroid z offsets
+        (e.g. +0.5 for its 'dog' capture); ours is a parameter."""
+        mats = np.stack([
+            np.asarray(self._frame(k)["transform_matrix"], np.float64)
+            for k in self.frame_keys])                       # [N, 4, 4]
+        cams = mats[:, :3, 3]
+        centroid = cams.mean(0) + center_offset
+        radius = float(np.linalg.norm(cams - cams.mean(0), axis=-1).mean())
+        tz = -radius * np.tan(np.radians(pitch_deg))
+        up = np.array([0.0, 0.0, 1.0])
+        poses = []
+        for th in np.linspace(0.0, 2.0 * np.pi, n_orbit):
+            cam = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
+            look = -cam.copy()
+            look[2] = tz
+            look /= np.linalg.norm(look)
+            z_axis = -look                      # blender: camera z backward
+            x_axis = np.cross(up, z_axis)
+            x_axis /= np.linalg.norm(x_axis)
+            y_axis = np.cross(z_axis, x_axis)
+            y_axis /= np.linalg.norm(y_axis)
+            c2w = np.stack([x_axis, y_axis, z_axis, cam + centroid],
+                           1).astype(np.float32)             # [3, 4]
+            poses.append(c2w)
+        self.orbit_poses = np.stack(poses)
+
+    def _orbit_item(self, idx) -> Dict:
+        from tensoir_tpu.data.ray_utils import get_ray_directions_blender
+        frame0 = self._frame(self.frame_keys[0])
+        _, _, img_wh, _ = self._frame_rays(frame0)
+        fov = self.transforms_json["camera_angle_x"]
+        focal = 0.5 * img_wh[0] / np.tan(0.5 * fov)
+        directions = get_ray_directions_blender(img_wh[1], img_wh[0],
+                                                [focal, focal])
+        directions = directions / np.linalg.norm(directions, axis=-1,
+                                                 keepdims=True)
+        c2w = self.orbit_poses[idx]
+        rays_o, rays_d = get_rays(directions, c2w)
+        rays = np.concatenate([rays_o, rays_d], -1)
+        n = rays.shape[0]
+        return {
+            "img_wh": img_wh,
+            "light_idx": np.zeros((1, n, 1), np.int32),
+            "rgbs": np.ones((1, n, 3), np.float32),   # no GT: white
+            "rgbs_mask": np.ones((n,), bool),
+            "rays": rays,
+            "c2w": np.concatenate(
+                [c2w, np.array([[0, 0, 0, 1]], np.float32)], 0),
+            "synthetic_pose": True,
+        }
 
     def _frame(self, key):
         frames = self.transforms_json["frames"]
@@ -252,9 +314,13 @@ class TensoIRSimpleDataset:
         self.all_light_idx = np.concatenate(all_lidx, 0)
 
     def __len__(self):
+        if getattr(self, "test_new_pose", False):
+            return len(self.orbit_poses)
         return len(self.frame_keys)
 
     def __getitem__(self, idx) -> Dict:
+        if getattr(self, "test_new_pose", False):
+            return self._orbit_item(idx)
         frame = self._frame(self.frame_keys[idx])
         rays, c2w, img_wh, img_path = self._frame_rays(frame)
         rgb, mask = load_rgba_white_composite(img_path, img_wh)

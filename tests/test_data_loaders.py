@@ -153,6 +153,28 @@ def test_simple_loader(tmp_path):
     assert ds.all_rays.shape[0] == 3 * 256
     assert set(np.unique(ds.all_light_idx)) == {0, 1}
 
+    # synthetic orbit pose path (tensoIR_simple.py:84-155 test_new_pose)
+    ds_orbit = cls(root, split="test", light_rotation=["000", "120"],
+                   test_new_pose=True, n_orbit=12)
+    assert len(ds_orbit) == 12
+    item = ds_orbit[0]
+    assert item["synthetic_pose"] and item["rays"].shape == (256, 6)
+    # camera positions lie on a circle around the camera centroid
+    cams = ds_orbit.orbit_poses[:, :, 3]
+    # exact construction center: frame-camera centroid + default z offset
+    frame_cams = np.stack([
+        np.asarray(frames[str(k)]["transform_matrix"])[:3, 3]
+        for k in range(3)])
+    center = frame_cams.mean(0) + np.array([0.0, 0.0, 0.5])
+    r = np.linalg.norm((cams - center)[:, :2], axis=-1)
+    np.testing.assert_allclose(r, r[0], rtol=1e-4)
+    # central ray points toward the orbit center
+    mid = item["rays"][item["rays"].shape[0] // 2]
+    to_center = center - mid[:3]
+    to_center /= np.linalg.norm(to_center)
+    d = mid[3:] / np.linalg.norm(mid[3:])
+    assert float(d @ to_center) > 0.7
+
 
 def test_importance_sampling_distribution(tmp_path):
     """Sampled texel frequencies must track the intensity*sin(theta) pdf
