@@ -302,14 +302,21 @@ def evaluation_iter(
         if test_all and rgb_frames:
             vdir = os.path.join(save_path, "video")
             os.makedirs(vdir, exist_ok=True)
+            videos = [("rgb", rgb_frames), ("rgb_brdf", brdf_frames),
+                      ("render_normal_video", normal_frames)]
             try:
-                imageio.mimsave(os.path.join(vdir, "rgb.mp4"),
-                                np.stack(rgb_frames), fps=24, quality=8)
-                imageio.mimsave(os.path.join(vdir, "rgb_brdf.mp4"),
-                                np.stack(brdf_frames), fps=24, quality=8)
-                imageio.mimsave(os.path.join(vdir, "render_normal_video.mp4"),
-                                np.stack(normal_frames), fps=24, quality=8)
-            except Exception as e:  # video codec optional
-                print(f"[eval] mp4 export skipped: {e}")
+                for name, frames in videos:
+                    imageio.mimsave(os.path.join(vdir, f"{name}.mp4"),
+                                    np.stack(frames), fps=24, quality=8)
+            except Exception as e:  # no mp4 codec in this environment:
+                # fall back to animated GIF (PIL backend, always available)
+                print(f"[eval] mp4 export unavailable ({e}); writing GIFs")
+                try:
+                    for name, frames in videos:
+                        imageio.mimsave(os.path.join(vdir, f"{name}.gif"),
+                                        np.stack(frames), format="GIF",
+                                        duration=1000 // 24, loop=0)
+                except Exception as e2:
+                    print(f"[eval] gif export skipped: {e2}")
 
     return results
