@@ -32,6 +32,8 @@ def main(argv=None):
                         help="coarse secondary-visibility bake cap (0=full)")
     parser.add_argument("--window", type=int, default=0,
                         help="interval-culled secondary march window (0=off)")
+    parser.add_argument("--window_back", type=int, default=0,
+                        help="back-anchored part of the window")
     parser.add_argument("--compact", type=float, default=0.0,
                         help="hemisphere-pair compaction fraction (0=off)")
     parser.add_argument("--relight_cap", type=int, default=512,
@@ -81,6 +83,7 @@ def main(argv=None):
         march_cap_secondary=32,
         relight_ray_cap=args.relight_cap,
         second_window=args.window,
+        second_window_back=args.window_back,
         secondary_compact_frac=args.compact,
         secondary_tile=32768,
         secondary_bake_reso=args.bake_reso,

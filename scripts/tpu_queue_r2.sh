@@ -13,7 +13,7 @@ echo "demo A exit: $?"
 
 echo "=== [2/5] flagship demo B: new canonical perf config (cap4096, w48, c56)"
 python examples/train_synthetic_demo.py --iters 5000 --bake_reso 128 \
-  --relight_cap 4096 --window 48 --compact 0.5625 \
+  --relight_cap 4096 --window 48 --window_back 16 --compact 0.5625 \
   --out ./log/synthetic_demo_r2_cap4096 > /tmp/demo_b.log 2>&1
 echo "demo B exit: $?"
 

@@ -154,6 +154,9 @@ class TensoIRConfig:
     # occupied span, fine march gathers only this many canonical samples
     # (0 = full second_nSample march).
     second_window: int = 0
+    # Back-anchored portion of second_window (covers the far interval of
+    # two-interval spans, e.g. object + ground plane).
+    second_window_back: int = 0
     # Hemisphere-pair compaction: march only cosine-valid (point, dir)
     # pairs, compacted to ceil(P*L*frac) rows (0 = dense+mask). The
     # reference likewise computes visibility only for unmasked pairs

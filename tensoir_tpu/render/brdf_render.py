@@ -58,6 +58,7 @@ def render_with_brdf(
     secondary_use_baked: bool = True,
     secondary_bake_reso: int = 0,
     second_window: int = 0,
+    second_window_back: int = 0,
     secondary_compact_frac: float = 0.0,
     use_linear2srgb: bool = True,
 ) -> jax.Array:
@@ -83,7 +84,8 @@ def render_with_brdf(
         n_sample=second_n_sample, vis_near=second_near, vis_far=second_far,
         tile=secondary_tile, march_cap=second_march_cap,
         use_baked=secondary_use_baked, bake_reso=secondary_bake_reso,
-        window=second_window, compact_frac=secondary_compact_frac)
+        window=second_window, window_back=second_window_back,
+        compact_frac=secondary_compact_frac)
 
     specular = ggx_specular(normal_map, surf2c, surf2l, roughness_map,
                             fresnel_map)                        # [P, L, 3]

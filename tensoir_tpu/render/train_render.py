@@ -37,6 +37,7 @@ def render_train_batch(
     secondary_use_baked: bool = True,
     secondary_bake_reso: int = 0,
     second_window: int = 0,
+    second_window_back: int = 0,
     secondary_compact_frac: float = 0.0,
     ndc_ray: bool = False,
     relight_ray_cap: int = 1024,
@@ -95,6 +96,7 @@ def render_train_batch(
         secondary_use_baked=secondary_use_baked,
         secondary_bake_reso=secondary_bake_reso,
         second_window=second_window,
+        second_window_back=second_window_back,
         secondary_compact_frac=secondary_compact_frac,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)

@@ -56,6 +56,7 @@ class StepStatic:
     secondary_use_baked: bool = True  # baked sigma grid for visibility
     secondary_bake_reso: int = 0      # coarse-bake cap (0 = full reso)
     second_window: int = 0            # interval-culled secondary march
+    second_window_back: int = 0       # back-anchored part of the window
     secondary_compact_frac: float = 0.0  # hemisphere-pair compaction
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
@@ -80,6 +81,7 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         secondary_use_baked=st.secondary_use_baked,
         secondary_bake_reso=st.secondary_bake_reso,
         second_window=st.second_window,
+        second_window_back=st.second_window_back,
         secondary_compact_frac=st.secondary_compact_frac,
         ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,

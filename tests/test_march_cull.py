@@ -266,3 +266,92 @@ def test_secondary_tiled_pair_compaction_exact():
                                atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ind_cw), np.asarray(ind_w),
                                atol=1e-6, rtol=1e-5)
+
+
+def _two_slab_model():
+    """Two occupied slabs along z separated by a gap — the object-over-
+    ground-plane span shape that a single contiguous window truncates."""
+    from tensoir_tpu.models import field as F
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4),
+                      app_dim=6, feature_c=32, num_sgs=16, envmap_h=4,
+                      envmap_w=8, step_ratio=2.0,
+                      normals_kind="purely_predicted")
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    params, scene = init_field_params(jax.random.PRNGKey(2), cfg,
+                                      (32, 32, 32), aabb)
+    params = dict(params)
+    # single active VM term: plane_0 spans (x, y), line_0 is the z axis —
+    # constant plane x two narrow z bumps = two slabs, uniform in x/y.
+    # Amplitude tuned so the near slab is translucent (T ~ 0.3): the far
+    # slab's occlusion must be visible in the transmittance.
+    for i in range(3):
+        params[f"density_plane_{i}"] = params[f"density_plane_{i}"] * 0 + (
+            1.5 if i == 0 else 0.0)
+        ln = params[f"density_line_{i}"]
+        D, R = ln.shape
+        z = np.linspace(-1, 1, D)
+        two = (np.exp(-((z + 0.8) ** 2) / 0.004)
+               + np.exp(-((z - 0.3) ** 2) / 0.004)).astype(np.float32)
+        params[f"density_line_{i}"] = ln * 0 + (
+            1.6 * jnp.asarray(two)[:, None] if i == 0 else 0.0)
+    scene, _ = LC.update_alpha_mask(cfg, params, scene, (32, 32, 32))
+    return cfg, params, scene
+
+
+def test_double_window_covers_two_intervals():
+    from tensoir_tpu.models import field as F
+    cfg, params, scene = _two_slab_model()
+    baked = F.bake_packed_sigma_grid(cfg, params, scene)
+    coarse = F.bake_coarse_occupancy(baked)
+    N = 32
+    rng = np.random.default_rng(8)
+    # rays along +z starting just before the first slab (z=-0.8): the far
+    # slab (z=0.3) sits at t ~ 1.3 < vis_far; span ~ 72 of 96 samples
+    o = np.stack([rng.uniform(-0.2, 0.2, N), rng.uniform(-0.2, 0.2, N),
+                  np.full(N, -1.0)], -1).astype(np.float32)
+    d = np.zeros((N, 3), np.float32)
+    d[:, 2] = 1.0
+    pts, dirs = jnp.asarray(o), jnp.asarray(d)
+
+    kw = dict(n_sample=96, vis_near=0.05, vis_far=1.5)
+    t_full, _ = compute_transmittance(cfg, params, scene, pts, dirs,
+                                      baked=baked, **kw)
+    t_single, _ = compute_transmittance(cfg, params, scene, pts, dirs,
+                                        baked=baked, coarse=coarse,
+                                        window=48, prepass_n=24, **kw)
+    t_double, _ = compute_transmittance(cfg, params, scene, pts, dirs,
+                                        baked=baked, coarse=coarse,
+                                        window=48, window_back=16,
+                                        prepass_n=24, **kw)
+    t_full = np.asarray(t_full)
+    err_single = np.abs(np.asarray(t_single) - t_full).max()
+    err_double = np.abs(np.asarray(t_double) - t_full).max()
+    # the single 48-window misses the far slab entirely (overestimates
+    # visibility); the front+back split captures both slabs
+    assert err_single > 0.05, err_single
+    assert err_double < 6e-3, (err_double, err_single)
+
+
+def test_double_window_exact_for_short_spans():
+    """With one compact blob (span << window) front+back must equal the
+    single window exactly."""
+    from tensoir_tpu.models import field as F
+    cfg, params, scene = _model_with_mask()
+    baked = F.bake_packed_sigma_grid(cfg, params, scene)
+    coarse = F.bake_coarse_occupancy(baked, reso=16)
+    rng = np.random.default_rng(9)
+    N = 48
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = jnp.asarray(d)
+    kw = dict(n_sample=64, vis_near=0.05, vis_far=1.5)
+    t_s, a_s = compute_transmittance(cfg, params, scene, pts, dirs,
+                                     baked=baked, coarse=coarse,
+                                     window=56, prepass_n=24, **kw)
+    t_d, a_d = compute_transmittance(cfg, params, scene, pts, dirs,
+                                     baked=baked, coarse=coarse,
+                                     window=56, window_back=16,
+                                     prepass_n=24, **kw)
+    np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_d), np.asarray(a_s), atol=1e-6)
