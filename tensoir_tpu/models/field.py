@@ -437,9 +437,9 @@ def bake_packed_sigma_grid(cfg: FieldConfig, params: Dict, scene: Dict,
     return jnp.stack(corners, axis=-1).astype(dtype)
 
 
-def bake_coarse_occupancy(packed: jax.Array, reso: int = 32,
+def bake_coarse_occupancy(packed: jax.Array, reso: int = 48,
                           feat_thres: float = 0.0,
-                          dilate: int = 1) -> jax.Array:
+                          dilate: int = 2) -> jax.Array:
     """Conservative coarse occupancy [reso, reso, reso] from a corner-packed
     baked sigma grid, dilated `dilate` coarse cells.
 
@@ -452,6 +452,15 @@ def bake_coarse_occupancy(packed: jax.Array, reso: int = 32,
     secondary march (render/secondary.py) to bound the occupied span of a
     shadow ray before the fine gather loop — the reference marches every
     sample unconditionally (relight_utils.py:788-812).
+
+    Conservativeness contract with the prepass: the march's prepass
+    (secondary._march_window) can only guarantee it never steps over an
+    occupied region if half its sample spacing <= the dilation margin
+    (dilate * cell size = dilate * aabb_extent / reso). Defaults
+    (reso 48, dilate 2, margin = extent/24) keep the guarantee down to an
+    aabb extent of ~0.6x the secondary march range at the default
+    prepass_n=18 — the round-1 defaults (32, 1) were within 6% of breaking
+    it on the shrunk demo-scene aabb.
     """
     occ = jnp.max(packed.astype(jnp.float32), axis=-1) > feat_thres
     Zc, Yc, Xc = occ.shape
