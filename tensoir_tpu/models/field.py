@@ -101,6 +101,9 @@ def init_field_params(key, cfg: FieldConfig, grid_size, aabb,
     ki = iter(keys)
     params: Dict[str, jax.Array] = {}
 
+    # factor init scale: 0.1 for VM (tensoRF_rotated_lights.py:19-29),
+    # 0.2 for CP lines (tensoRF_init.py:314-325)
+    scale = 0.1 if cfg.decomp == "vm" else 0.2
     for name, ncomp in (("density", cfg.density_n_comp),
                         ("app", cfg.app_n_comp)):
         for i in range(3):
@@ -109,10 +112,14 @@ def init_field_params(key, cfg: FieldConfig, grid_size, aabb,
             if cfg.decomp == "vm":
                 params[f"{name}_plane_{i}"] = 0.1 * jax.random.normal(
                     next(ki), (grid_size[m1], grid_size[m0], ncomp[i]))
-            params[f"{name}_line_{i}"] = 0.1 * jax.random.normal(
+            params[f"{name}_line_{i}"] = scale * jax.random.normal(
                 next(ki), (grid_size[vec], ncomp[i]))
 
-    sum_ra = sum(cfg.app_n_comp)
+    # CP's appearance feature is the 3-way line product with app_n_comp[0]
+    # dims (tensoRF_init.py:317: basis_mat in-dim = app_n_comp[0]); VM
+    # concatenates per-axis features to sum(Ra)
+    sum_ra = (cfg.app_n_comp[0] if cfg.decomp == "cp"
+              else sum(cfg.app_n_comp))
     bound = 1.0 / np.sqrt(sum_ra)
     params["basis_mat"] = jax.random.uniform(
         next(ki), (sum_ra, cfg.app_dim), minval=-bound, maxval=bound)
