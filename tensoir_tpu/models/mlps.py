@@ -76,8 +76,13 @@ def render_fea_inputs(features, viewdirs, view_pe: int, fea_pe: int):
 
 
 def render_pe_in_dim(app_dim: int, view_pe: int, pos_pe: int) -> int:
-    # MLPRender_PE (tensorBase_rotated_lights.py:295)
-    return (3 + 2 * view_pe * 3) + (3 + 2 * pos_pe * 3) + app_dim
+    # MLPRender_PE. NOTE a latent reference bug: its ctor counts raw pts
+    # (in_mlpC = (3+2*viewpe*3)+(3+2*pospe*3)+inChanel,
+    # tensorBase_rotated_lights.py:295) but its forward concatenates only
+    # [features, viewdirs, PE(pts), PE(view)] (:306-311) — 3 fewer dims, so
+    # the reference crashes if shadingMode=MLP_PE is ever selected. We
+    # implement the forward's actual behavior.
+    return (3 + 2 * view_pe * 3) + (2 * pos_pe * 3) + app_dim
 
 
 def render_pe_inputs(pts, features, viewdirs, view_pe: int, pos_pe: int):
