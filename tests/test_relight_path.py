@@ -106,12 +106,18 @@ def test_relight_general_multi_light_per_sg():
 
 
 def test_normals_kinds_run():
-    for kind in ("purely_predicted", "purely_derived", "residue_prediction"):
+    for kind in ("purely_predicted", "purely_derived", "residue_prediction",
+                 "derived_plus_predicted", "gt_normals"):
         cfg, params, scene = _tiny_model(normals_kind=kind)
         rays = _rays(8)
+        normal_gt = None
+        if kind == "gt_normals":
+            g = np.zeros((8, 3), np.float32)
+            g[:, 2] = -1.0
+            normal_gt = jnp.asarray(g)
         out = render_train_batch(
             cfg, params, scene, rays, jnp.zeros(8, jnp.int32),
             n_samples=16, key=jax.random.PRNGKey(5), is_train=True,
             is_relight=True, white_bg=True, app_cap=4, relight_ray_cap=4,
-            second_n_sample=8, secondary_tile=64)
+            second_n_sample=8, secondary_tile=64, normal_gt=normal_gt)
         assert np.isfinite(np.asarray(out["normal_map"])).all(), kind
