@@ -62,15 +62,17 @@ def main():
     key = jax.random.PRNGKey(1)
     n_iters = 8 if platform != "cpu" else 2
 
-    def run(name, window, cap, compact=0.0):
+    def run(name, window, cap, compact=0.0, wb=0, prepass=18):
         if platform == "cpu":
             window = min(window, 12)
+            wb = min(wb, 4)
             cap = min(cap, 64)
         st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
                         app_cap=32, relight_ray_cap=cap,
                         march_cap=192, second_march_cap=32,
                         secondary_use_baked=True, secondary_bake_reso=128,
-                        second_window=window,
+                        second_window=window, second_window_back=wb,
+                        second_prepass_n=prepass,
                         secondary_compact_frac=compact,
                         second_n_sample=SECOND_N, secondary_tile=TILE)
         step_fn = make_train_step(cfg, optimizer, st, w, donate=False)
@@ -89,12 +91,11 @@ def main():
                           "n_acc_masked": n_masked,
                           "loss0": round(loss0, 5)}), flush=True)
 
-    run("w0_cap1024", 0, 1024)            # round-1 canonical config
-    run("w48_cap1024", 48, 1024)
-    run("w48_cap4096_c56", 48, 4096, 0.5625)
-    run("w40_cap4096_c56", 40, 4096, 0.5625)
-    run("w48_cap4096", 48, 4096)
-    run("w56_cap4096_c56", 56, 4096, 0.5625)
+    run("w48b16_pre18", 48, 4096, 0.5625, wb=16)   # current canonical
+    run("w40b12_pre18", 40, 4096, 0.5625, wb=12)
+    run("w40b12_pre14", 40, 4096, 0.5625, wb=12, prepass=14)
+    run("w48b16_pre14", 48, 4096, 0.5625, wb=16, prepass=14)
+    run("w36b12_pre14", 36, 4096, 0.5625, wb=12, prepass=14)
     print("done", flush=True)
 
 

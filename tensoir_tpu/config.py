@@ -157,6 +157,10 @@ class TensoIRConfig:
     # Back-anchored portion of second_window (covers the far interval of
     # two-interval spans, e.g. object + ground plane).
     second_window_back: int = 0
+    # Coarse-occupancy prepass sample count for the windowed march. Must
+    # keep half the prepass spacing <= the coarse dilation margin
+    # (field.bake_coarse_occupancy docstring).
+    second_prepass_n: int = 18
     # Hemisphere-pair compaction: march only cosine-valid (point, dir)
     # pairs, compacted to ceil(P*L*frac) rows (0 = dense+mask). The
     # reference likewise computes visibility only for unmasked pairs

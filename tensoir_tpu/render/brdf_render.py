@@ -59,6 +59,7 @@ def render_with_brdf(
     secondary_bake_reso: int = 0,
     second_window: int = 0,
     second_window_back: int = 0,
+    second_prepass_n: int = 18,
     secondary_compact_frac: float = 0.0,
     use_linear2srgb: bool = True,
 ) -> jax.Array:
@@ -85,6 +86,7 @@ def render_with_brdf(
         tile=secondary_tile, march_cap=second_march_cap,
         use_baked=secondary_use_baked, bake_reso=secondary_bake_reso,
         window=second_window, window_back=second_window_back,
+        prepass_n=second_prepass_n,
         compact_frac=secondary_compact_frac)
 
     specular = ggx_specular(normal_map, surf2c, surf2l, roughness_map,

@@ -38,6 +38,7 @@ def render_train_batch(
     secondary_bake_reso: int = 0,
     second_window: int = 0,
     second_window_back: int = 0,
+    second_prepass_n: int = 18,
     secondary_compact_frac: float = 0.0,
     ndc_ray: bool = False,
     relight_ray_cap: int = 1024,
@@ -97,6 +98,7 @@ def render_train_batch(
         secondary_bake_reso=secondary_bake_reso,
         second_window=second_window,
         second_window_back=second_window_back,
+        second_prepass_n=second_prepass_n,
         secondary_compact_frac=secondary_compact_frac,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)

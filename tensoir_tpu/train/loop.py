@@ -236,6 +236,7 @@ def reconstruction(
             secondary_bake_reso=cfg.secondary_bake_reso,
             second_window=cfg.second_window,
             second_window_back=cfg.second_window_back,
+            second_prepass_n=cfg.second_prepass_n,
             secondary_compact_frac=cfg.secondary_compact_frac,
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,

@@ -57,6 +57,7 @@ class StepStatic:
     secondary_bake_reso: int = 0      # coarse-bake cap (0 = full reso)
     second_window: int = 0            # interval-culled secondary march
     second_window_back: int = 0       # back-anchored part of the window
+    second_prepass_n: int = 18        # coarse-occupancy prepass samples
     secondary_compact_frac: float = 0.0  # hemisphere-pair compaction
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
@@ -82,6 +83,7 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         secondary_bake_reso=st.secondary_bake_reso,
         second_window=st.second_window,
         second_window_back=st.second_window_back,
+        second_prepass_n=st.second_prepass_n,
         secondary_compact_frac=st.secondary_compact_frac,
         ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,
