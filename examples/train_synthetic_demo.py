@@ -34,6 +34,8 @@ def main(argv=None):
                         help="interval-culled secondary march window (0=off)")
     parser.add_argument("--window_back", type=int, default=0,
                         help="back-anchored part of the window")
+    parser.add_argument("--prepass", type=int, default=18,
+                        help="coarse-occupancy prepass samples")
     parser.add_argument("--compact", type=float, default=0.0,
                         help="hemisphere-pair compaction fraction (0=off)")
     parser.add_argument("--relight_cap", type=int, default=512,
@@ -84,6 +86,7 @@ def main(argv=None):
         relight_ray_cap=args.relight_cap,
         second_window=args.window,
         second_window_back=args.window_back,
+        second_prepass_n=args.prepass,
         secondary_compact_frac=args.compact,
         secondary_tile=32768,
         secondary_bake_reso=args.bake_reso,
