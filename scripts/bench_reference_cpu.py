@@ -235,9 +235,13 @@ def bench_ours(cfg, params, scene, rays_np, cap, n_iters=3):
                     jax.random.fold_in(key, i + 1), jnp.asarray(i + 1))[2]
     _ = float(m["total_loss"])
     ms = (time.perf_counter() - t0) / n_iters * 1e3
-    rays_per_step = B + cap * ENV_H * ENV_W
+    # count only REAL visibility rays (rays our step actually acc-masked,
+    # same rule as bench.py) — crediting the pow2-rounded cap would bias
+    # the same-hardware comparison in our favor
+    n_masked = int(m["n_acc_masked"])
+    rays_per_step = B + min(n_masked, cap) * ENV_H * ENV_W
     out = {"framework": "tensoir_tpu_jax_cpu", "ms": round(ms, 1),
-           "relight_ray_cap": cap,
+           "relight_ray_cap": cap, "n_acc_masked": n_masked,
            "rays_per_s": round(rays_per_step / (ms / 1e3))}
     print(json.dumps(out), flush=True)
     return out

@@ -234,7 +234,7 @@ class TensoIRSimpleDataset:
         tz = -radius * np.tan(np.radians(pitch_deg))
         up = np.array([0.0, 0.0, 1.0])
         poses = []
-        for th in np.linspace(0.0, 2.0 * np.pi, n_orbit):
+        for th in np.linspace(0.0, 2.0 * np.pi, n_orbit, endpoint=False):
             cam = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
             look = -cam.copy()
             look[2] = tz

@@ -140,31 +140,28 @@ def compute_radiance(
             cfg, baked, coarse, aabb, surf_pts, light_in_dir,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
             window=window, prepass_n=prepass_n, window_back=window_back)
-    elif baked is not None:
-        xyz, z_vals, valid = sample_ray_equally(
-            surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
-        dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
-        coords = F.normalize_coord(aabb, xyz)
-        # corner-packed baked grid: ONE gather per sample; the alpha mask is
-        # folded in at bake time, so no occupancy lookup / cull is needed
-        feat = F.density_feature_packed(baked, coords)
-        sigma = jnp.where(valid, F.feature2density(cfg, feat), 0.0)
     else:
         xyz, z_vals, valid = sample_ray_equally(
             surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
         dists = z_to_dists(jnp.broadcast_to(z_vals, xyz.shape[:2]))
         coords = F.normalize_coord(aabb, xyz)
-        if 0 < march_cap < n_sample:
-            occ = F.sample_alpha_mask_nearest(scene, xyz)
-            midx, valid = primary.select_occupied_samples(valid & occ,
-                                                          march_cap)
-            coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
-            dists = jnp.take_along_axis(dists, midx, axis=1)
-            xyz_sel = jnp.take_along_axis(xyz, midx[..., None], axis=1)
-            valid = valid & (F.sample_alpha_mask(scene, xyz_sel) > 0)
-        else:
-            valid = valid & (F.sample_alpha_mask(scene, xyz) > 0)
-        sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
+        if baked is not None:
+            # corner-packed baked grid: ONE gather per sample; the alpha
+            # mask is folded in at bake time, so no occupancy cull needed
+            feat = F.density_feature_packed(baked, coords)
+            sigma = jnp.where(valid, F.feature2density(cfg, feat), 0.0)
+        else:  # exact (non-baked) VM march
+            if 0 < march_cap < n_sample:
+                occ = F.sample_alpha_mask_nearest(scene, xyz)
+                midx, valid = primary.select_occupied_samples(valid & occ,
+                                                              march_cap)
+                coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
+                dists = jnp.take_along_axis(dists, midx, axis=1)
+                xyz_sel = jnp.take_along_axis(xyz, midx[..., None], axis=1)
+                valid = valid & (F.sample_alpha_mask(scene, xyz_sel) > 0)
+            else:
+                valid = valid & (F.sample_alpha_mask(scene, xyz) > 0)
+            sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     alpha, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
 
     # ---- indirect light: two-stage compaction --------------------------

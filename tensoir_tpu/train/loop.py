@@ -378,7 +378,10 @@ def reconstruction(
                 opt_state = replicate(mesh, opt_state)
 
         if eval_fn is not None and relight and cfg.vis_every > 0 \
-                and it % cfg.vis_every == cfg.vis_every - 1:
+                and it % cfg.vis_every == cfg.vis_every - 1 and is_main:
+            # is_main: multi-host artifact gating — without it every
+            # process would redundantly render the eval and concurrently
+            # write the same files (garbling metrics_record.txt)
             eval_fn(fcfg, params, scene, it, n_samples, logger=logger)
             meter.start()   # exclude eval time from the throughput window
 

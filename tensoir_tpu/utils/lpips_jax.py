@@ -48,10 +48,14 @@ _VGG_GROUPS = [[64, 64], [128, 128], [256, 256, 256],
 
 def _conv2d(x, w, b, stride: int, pad: int):
     import jax.lax as lax
+    # HIGHEST: the default TPU conv truncates operands to bf16 (CLAUDE.md);
+    # torch-parity of the metric requires f32 accumulation through the
+    # 5/13-layer backbone
     out = lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
     return out + b[None, None, None, :]
 
 
@@ -141,10 +145,19 @@ def load_lpips_params(path: str):
 
 def find_weights(net: str = "alex"):
     """Weights path from $TENSOIR_LPIPS_WEIGHTS or default locations;
-    None when absent (the offline-image case)."""
+    None when absent (the offline-image case). The env-var file (and any
+    candidate) is only used for the net it was converted FOR — the npz
+    carries a 'net' field — so a single exported alex file can't be fed
+    to the vgg plan (KeyError) or silently produce wrong numbers."""
     cand = [os.environ.get("TENSOIR_LPIPS_WEIGHTS", "")]
     cand += [p.replace("alex", net) for p in _DEFAULT_PATHS]
     for p in cand:
         if p and os.path.exists(p):
-            return p
+            try:
+                z = np.load(p)
+                file_net = str(z["net"]) if "net" in z.files else "alex"
+            except Exception:
+                continue
+            if file_net == net:
+                return p
     return None

@@ -138,10 +138,13 @@ def main(argv=None):
             f"loss {m.get('total_loss', 0):.5f}", flush=True)
         if it % (cfg.progress_refresh_rate * 10) == 0 else None)
 
-    if cfg.render_test:
-        # general multi-light: evaluate each learned light separately with
-        # per-light output dirs (train_tensoIR_general_multi_lights.py's
-        # final-eval loop); other settings evaluate light 0
+    import jax
+    if cfg.render_test and jax.process_index() == 0:
+        # process-0 gate (reference gates final eval to rank 0,
+        # train_tensoIR.py:424-453); general multi-light: evaluate each
+        # learned light separately with per-light output dirs
+        # (train_tensoIR_general_multi_lights.py's final-eval loop);
+        # other settings evaluate light 0
         light_indices = (range(cfg.light_num) if cfg.light_name_list
                          else [0])
         for li in light_indices:
