@@ -227,18 +227,27 @@ def bench_ours(cfg, params, scene, rays_np, cap, n_iters=3):
              "light_idx": jnp.zeros((B,), jnp.int32)}
     key = jax.random.PRNGKey(1)
 
-    m = step_fn(params, opt_state, scene, batch, key, jnp.asarray(0))[2]
+    # carry the optimizer state through iterations exactly like the
+    # reference loop does — both sides' acc-mask counts then evolve under
+    # the same early-training dynamics (Adam at lr 0.02 inflates the blob
+    # density within a few steps; re-rendering the frozen init instead
+    # reports a near-empty acc mask and voids the comparison)
+    params, opt_state, m = step_fn(params, opt_state, scene, batch, key,
+                                   jnp.asarray(0))
     _ = float(m["total_loss"])      # warmup+compile
+    masked_counts = []
     t0 = time.perf_counter()
     for i in range(n_iters):
-        m = step_fn(params, opt_state, scene, batch,
-                    jax.random.fold_in(key, i + 1), jnp.asarray(i + 1))[2]
-    _ = float(m["total_loss"])
+        params, opt_state, m = step_fn(params, opt_state, scene, batch,
+                                       jax.random.fold_in(key, i + 1),
+                                       jnp.asarray(i + 1))
+        masked_counts.append(m["n_acc_masked"])
+    masked_counts = [int(c) for c in masked_counts]  # sync AFTER the loop
     ms = (time.perf_counter() - t0) / n_iters * 1e3
     # count only REAL visibility rays (rays our step actually acc-masked,
     # same rule as bench.py) — crediting the pow2-rounded cap would bias
     # the same-hardware comparison in our favor
-    n_masked = int(m["n_acc_masked"])
+    n_masked = int(np.mean(masked_counts))
     rays_per_step = B + min(n_masked, cap) * ENV_H * ENV_W
     out = {"framework": "tensoir_tpu_jax_cpu", "ms": round(ms, 1),
            "relight_ray_cap": cap, "n_acc_masked": n_masked,

@@ -10,6 +10,13 @@ SURVEY.md §2.3/§2.4):
   matMode=((0,1),(0,2),(1,2)), vecMode=(2,1,0)
   (tensoRF_rotated_lights.py:11-29, tensorBase_rotated_lights.py:398-399).
 * CP decomposition ('cp'): lines only (tensoRF_init.py:308-436).
+* Legacy stacked VM ('vm_stacked'): density and appearance share ONE
+  plane/line tensor per axis with channels [app(A) | density(D)] —
+  the reference's `TensorVM` (tensoRF_init.py:4-136: plane_coef
+  [3, A+D, R, R], app = [:, :A], density = [:, -D:]). Same forward math
+  as 'vm' but coupled storage: one lr group for the shared factors, joint
+  upsample/shrink — and on TPU one packed-plane gather per axis serves
+  both fields (gather rows are priced per-row, width is free).
 * `light_line` embedding [light_num, sum(Ra)] — TensoIR's multi-light
   factorization (tensoRF_rotated_lights.py:16).
 * basis matrix [sum(Ra), app_dim] (bias-free Linear, tensoRF_rotated_lights.py:14).
@@ -47,7 +54,7 @@ class FieldConfig:
     density_n_comp: Tuple[int, int, int] = (16, 16, 16)
     app_n_comp: Tuple[int, int, int] = (48, 48, 48)
     app_dim: int = 27
-    decomp: str = "vm"  # 'vm' | 'cp'
+    decomp: str = "vm"  # 'vm' | 'cp' | 'vm_stacked' (legacy TensorVM)
     shading_mode: str = "MLP_Fea"  # MLP_Fea | MLP_PE | MLP | SH | RGB
     normals_kind: str = "derived_plus_predicted"
     light_kind: str = "sg"  # 'sg' | 'pixel' | 'gt'
@@ -84,9 +91,10 @@ class FieldConfig:
 
 def grid_size_of(params: Dict) -> Tuple[int, int, int]:
     """Recover (X, Y, Z) grid resolution from factor shapes."""
-    return (params["density_line_2"].shape[0],
-            params["density_line_1"].shape[0],
-            params["density_line_0"].shape[0])
+    pre = "stack" if "stack_line_0" in params else "density"
+    return (params[f"{pre}_line_2"].shape[0],
+            params[f"{pre}_line_1"].shape[0],
+            params[f"{pre}_line_0"].shape[0])
 
 
 def init_field_params(key, cfg: FieldConfig, grid_size, aabb,
@@ -101,19 +109,33 @@ def init_field_params(key, cfg: FieldConfig, grid_size, aabb,
     ki = iter(keys)
     params: Dict[str, jax.Array] = {}
 
-    # factor init scale: 0.1 for VM (tensoRF_rotated_lights.py:19-29),
-    # 0.2 for CP lines (tensoRF_init.py:314-325)
-    scale = 0.1 if cfg.decomp == "vm" else 0.2
-    for name, ncomp in (("density", cfg.density_n_comp),
-                        ("app", cfg.app_n_comp)):
+    if cfg.decomp == "vm_stacked":
+        # legacy stacked TensorVM: one tensor per axis holds BOTH fields,
+        # channels [app(A) | density(D)] (tensoRF_init.py:10-13 packs
+        # app_n_comp + density_n_comp into plane_coef/line_coef; app is
+        # [:, :A], density [:, -D:]). 0.1*randn for planes AND lines.
         for i in range(3):
             m0, m1 = MAT_MODE[i]
             vec = VEC_MODE[i]
-            if cfg.decomp == "vm":
-                params[f"{name}_plane_{i}"] = 0.1 * jax.random.normal(
-                    next(ki), (grid_size[m1], grid_size[m0], ncomp[i]))
-            params[f"{name}_line_{i}"] = scale * jax.random.normal(
-                next(ki), (grid_size[vec], ncomp[i]))
+            c = cfg.app_n_comp[i] + cfg.density_n_comp[i]
+            params[f"stack_plane_{i}"] = 0.1 * jax.random.normal(
+                next(ki), (grid_size[m1], grid_size[m0], c))
+            params[f"stack_line_{i}"] = 0.1 * jax.random.normal(
+                next(ki), (grid_size[vec], c))
+    else:
+        # factor init scale: 0.1 for VM (tensoRF_rotated_lights.py:19-29),
+        # 0.2 for CP lines (tensoRF_init.py:314-325)
+        scale = 0.1 if cfg.decomp == "vm" else 0.2
+        for name, ncomp in (("density", cfg.density_n_comp),
+                            ("app", cfg.app_n_comp)):
+            for i in range(3):
+                m0, m1 = MAT_MODE[i]
+                vec = VEC_MODE[i]
+                if cfg.decomp == "vm":
+                    params[f"{name}_plane_{i}"] = 0.1 * jax.random.normal(
+                        next(ki), (grid_size[m1], grid_size[m0], ncomp[i]))
+                params[f"{name}_line_{i}"] = scale * jax.random.normal(
+                    next(ki), (grid_size[vec], ncomp[i]))
 
     # CP's appearance feature is the 3-way line product with app_n_comp[0]
     # dims (tensoRF_init.py:317: basis_mat in-dim = app_n_comp[0]); VM
@@ -209,6 +231,30 @@ def num_samples_for(aabb_np, grid_size, step_ratio: float) -> int:
 
 # ------------------------------------------------------------------- queries
 
+def density_factors(cfg: FieldConfig, params: Dict, i: int):
+    """(plane [H, W, D], line [R, D]) density factors for axis i.
+
+    Decomp-aware: 'vm' reads the dedicated tensors, 'vm_stacked' slices the
+    LAST D channels of the shared tensor (reference plane_coef[:, -D:],
+    tensoRF_init.py:31/53). Slices are views under jit — no copies.
+    """
+    if cfg.decomp == "vm_stacked":
+        a = cfg.app_n_comp[i]
+        return (params[f"stack_plane_{i}"][..., a:],
+                params[f"stack_line_{i}"][..., a:])
+    return params.get(f"density_plane_{i}"), params[f"density_line_{i}"]
+
+
+def app_factors(cfg: FieldConfig, params: Dict, i: int):
+    """(plane [H, W, A], line [R, A]) appearance factors for axis i
+    ('vm_stacked' takes the FIRST A channels, tensoRF_init.py:39/68)."""
+    if cfg.decomp == "vm_stacked":
+        a = cfg.app_n_comp[i]
+        return (params[f"stack_plane_{i}"][..., :a],
+                params[f"stack_line_{i}"][..., :a])
+    return params.get(f"app_plane_{i}"), params[f"app_line_{i}"]
+
+
 def density_feature(cfg: FieldConfig, params: Dict, coords):
     """sigma feature = sum_i <plane_i(c), line_i(c)> (tensoRF_rotated_lights.py:95-110).
 
@@ -226,12 +272,11 @@ def density_feature(cfg: FieldConfig, params: Dict, coords):
     total = jnp.zeros(coords.shape[:-1], coords.dtype)
     for i in range(3):
         m0, m1 = MAT_MODE[i]
+        plane, line = density_factors(cfg, params, i)
         # matmul line + corner-packed plane gather: ~3x fewer gather/scatter
         # rows than per-corner gathers (see ops/interp.py docstrings)
-        lf = lerp_line_matmul(params[f"density_line_{i}"],
-                              coords[..., VEC_MODE[i]])
-        pf = bilerp_plane_packed(params[f"density_plane_{i}"],
-                                 coords[..., m0], coords[..., m1])
+        lf = lerp_line_matmul(line, coords[..., VEC_MODE[i]])
+        pf = bilerp_plane_packed(plane, coords[..., m0], coords[..., m1])
         total = total + jnp.sum(pf * lf, axis=-1)
     return total
 
@@ -241,11 +286,10 @@ def _app_raw_feature(cfg: FieldConfig, params: Dict, coords):
     feats = []
     for i in range(3):
         m0, m1 = MAT_MODE[i]
-        if cfg.decomp == "vm":
-            lf = lerp_line_matmul(params[f"app_line_{i}"],
-                                  coords[..., VEC_MODE[i]])
-            pf = bilerp_plane_packed(params[f"app_plane_{i}"],
-                                     coords[..., m0], coords[..., m1])
+        if cfg.decomp in ("vm", "vm_stacked"):
+            plane, line = app_factors(cfg, params, i)
+            lf = lerp_line_matmul(line, coords[..., VEC_MODE[i]])
+            pf = bilerp_plane_packed(plane, coords[..., m0], coords[..., m1])
             feats.append(pf * lf)
         else:
             lf = lerp_line(params[f"app_line_{i}"], coords[..., VEC_MODE[i]])
@@ -335,9 +379,9 @@ def bake_sigma_feature_grid(cfg: FieldConfig, params: Dict) -> jax.Array:
         l1 = params["density_line_1"]  # [Y, R]
         l2 = params["density_line_2"]  # [X, R]
         return jnp.einsum("zr,yr,xr->zyx", l0, l1, l2)
-    p0, l0 = params["density_plane_0"], params["density_line_0"]  # [Y,X,R],[Z,R]
-    p1, l1 = params["density_plane_1"], params["density_line_1"]  # [Z,X,R],[Y,R]
-    p2, l2 = params["density_plane_2"], params["density_line_2"]  # [Z,Y,R],[X,R]
+    p0, l0 = density_factors(cfg, params, 0)  # [Y,X,R],[Z,R]
+    p1, l1 = density_factors(cfg, params, 1)  # [Z,X,R],[Y,R]
+    p2, l2 = density_factors(cfg, params, 2)  # [Z,Y,R],[X,R]
     out = jnp.einsum("yxr,zr->zyx", p0, l0)
     out = out + jnp.einsum("zxr,yr->zyx", p1, l1)
     out = out + jnp.einsum("zyr,xr->zyx", p2, l2)
@@ -410,6 +454,16 @@ def bake_packed_sigma_grid(cfg: FieldConfig, params: Dict, scene: Dict,
     alpha-mask culling (relight_utils.py:803-808) up to the grid-node
     discretization of the already-dilated mask.
     """
+    if cfg.decomp == "vm_stacked":
+        # re-key the sliced density factors under 'vm' names so the
+        # resize/bake below is decomp-agnostic (slices are free under jit)
+        sliced = {}
+        for i in range(3):
+            pl, ln = density_factors(cfg, params, i)
+            sliced[f"density_plane_{i}"] = pl
+            sliced[f"density_line_{i}"] = ln
+        params = sliced
+        cfg = dataclasses.replace(cfg, decomp="vm")
     if max_reso > 0:
         # coarse visibility bake: resample the factors to <= max_reso per
         # axis first (align_corners resize IS exact VM evaluation at the

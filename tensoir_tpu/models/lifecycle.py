@@ -135,11 +135,13 @@ def shrink(cfg: F.FieldConfig, params: Dict, scene: Dict, new_aabb):
     t_l = np.clip(t_l, 0, None)
 
     params = dict(params)
-    for name in ("density", "app"):
+    # 'stack' covers the legacy shared-tensor TensorVM (decomp='vm_stacked')
+    for name in ("density", "app", "stack"):
         for i in range(3):
             vec = VEC_MODE[i]
-            params[f"{name}_line_{i}"] = params[f"{name}_line_{i}"][
-                t_l[vec]:b_r[vec], :]
+            if f"{name}_line_{i}" in params:
+                params[f"{name}_line_{i}"] = params[f"{name}_line_{i}"][
+                    t_l[vec]:b_r[vec], :]
             if f"{name}_plane_{i}" in params:
                 m0, m1 = MAT_MODE[i]
                 params[f"{name}_plane_{i}"] = params[f"{name}_plane_{i}"][
@@ -166,11 +168,12 @@ def upsample(params: Dict, reso) -> Dict:
     (tensoRF_rotated_lights.py:226-246). reso: (X, Y, Z)."""
     reso = tuple(int(r) for r in reso)
     params = dict(params)
-    for name in ("density", "app"):
+    for name in ("density", "app", "stack"):
         for i in range(3):
             vec = VEC_MODE[i]
-            params[f"{name}_line_{i}"] = resize_line_align_corners(
-                params[f"{name}_line_{i}"], reso[vec])
+            if f"{name}_line_{i}" in params:
+                params[f"{name}_line_{i}"] = resize_line_align_corners(
+                    params[f"{name}_line_{i}"], reso[vec])
             if f"{name}_plane_{i}" in params:
                 m0, m1 = MAT_MODE[i]
                 params[f"{name}_plane_{i}"] = resize_bilinear_align_corners(

@@ -70,7 +70,8 @@ def field_config_from(cfg: TensoIRConfig, near_far) -> FieldConfig:
     per_light_sg = bool(cfg.light_name_list)
     rotations = tuple(int(r) for r in cfg.light_rotation)
     return FieldConfig(
-        decomp="cp" if cfg.model_name == "TensorCP" else "vm",
+        decomp={"TensorCP": "cp", "TensorVM": "vm_stacked"}.get(
+            cfg.model_name, "vm"),
         density_n_comp=tuple(cfg.n_lamb_sigma),
         app_n_comp=tuple(cfg.n_lamb_sh),
         app_dim=cfg.data_dim_color,

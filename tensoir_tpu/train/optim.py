@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-SPATIAL_PREFIXES = ("density_plane", "density_line", "app_plane", "app_line")
+SPATIAL_PREFIXES = ("density_plane", "density_line", "app_plane", "app_line",
+                    # legacy stacked TensorVM shared factors: ONE lr group
+                    # for density+app (tensoRF_init.py:17-22 puts the
+                    # shared plane/line at lr_init_spatialxyz)
+                    "stack_plane", "stack_line")
 LIGHT_KEYS = ("light_line", "lgt_sgs", "light_pixel")
 
 

@@ -98,23 +98,23 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
 
     stepf = step.astype(jnp.float32)
     if w.ortho > 0:
-        lo = L.ortho_loss(params)
+        lo = L.ortho_loss(params, cfg)
         total = total + w.ortho * lo
         metrics["loss_ortho"] = lo
     if w.l1 > 0:
-        l1 = L.density_l1(params)
+        l1 = L.density_l1(params, cfg)
         total = total + w.l1 * l1
         metrics["loss_l1"] = l1
     # TV weights decay multiplicatively every step they are applied
     # (train_tensoIR.py:276-285)
     if w.tv_density > 0:
         tvw = w.tv_density * (w.lr_factor ** (stepf + 1.0))
-        tv = L.tv_loss_density(params) * tvw
+        tv = L.tv_loss_density(params, cfg) * tvw
         total = total + tv
         metrics["loss_tv_density"] = tv
     if w.tv_app > 0:
         tvw = w.tv_app * (w.lr_factor ** (stepf + 1.0))
-        tv = L.tv_loss_app(params) * tvw
+        tv = L.tv_loss_app(params, cfg) * tvw
         total = total + tv
         metrics["loss_tv_app"] = tv
 
