@@ -62,17 +62,19 @@ def main():
     key = jax.random.PRNGKey(1)
     n_iters = 8 if platform != "cpu" else 2
 
-    def run(name, window, cap, compact=0.0, wb=0, prepass=18):
+    def run(name, window, cap, compact=0.0, wb=0, prepass=18,
+            march_select="topk", dilate=2, bake=128):
         if platform == "cpu":
             window = min(window, 12)
             wb = min(wb, 4)
             cap = min(cap, 64)
         st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
                         app_cap=32, relight_ray_cap=cap,
-                        march_cap=192, second_march_cap=32,
-                        secondary_use_baked=True, secondary_bake_reso=128,
+                        march_cap=192, march_select=march_select,
+                        second_march_cap=32,
+                        secondary_use_baked=True, secondary_bake_reso=bake,
                         second_window=window, second_window_back=wb,
-                        second_prepass_n=prepass,
+                        second_prepass_n=prepass, coarse_dilate=dilate,
                         secondary_compact_frac=compact,
                         second_n_sample=SECOND_N, secondary_tile=TILE)
         step_fn = make_train_step(cfg, optimizer, st, w, donate=False)
@@ -91,11 +93,12 @@ def main():
                           "n_acc_masked": n_masked,
                           "loss0": round(loss0, 5)}), flush=True)
 
-    run("w48b16_pre18", 48, 4096, 0.5625, wb=16)   # current canonical
-    run("w40b12_pre18", 40, 4096, 0.5625, wb=12)
-    run("w40b12_pre14", 40, 4096, 0.5625, wb=12, prepass=14)
-    run("w48b16_pre14", 48, 4096, 0.5625, wb=16, prepass=14)
-    run("w36b12_pre14", 36, 4096, 0.5625, wb=12, prepass=14)
+    run("canonical", 48, 4096, 0.5625, wb=16)      # w48b16 pre18 d2 bake128
+    run("scatter_sel", 48, 4096, 0.5625, wb=16, march_select="scatter")
+    run("dilate3_pre12", 48, 4096, 0.5625, wb=16, prepass=12, dilate=3)
+    run("bake96", 48, 4096, 0.5625, wb=16, bake=96)
+    run("all3", 48, 4096, 0.5625, wb=16, prepass=12, dilate=3, bake=96,
+        march_select="scatter")
     print("done", flush=True)
 
 

@@ -52,15 +52,11 @@ class _Args:
 
 
 def _bump_params(params):
-    import jax.numpy as jnp
-    for i in range(3):
-        g = params[f"density_plane_{i}"]
-        H, W, _ = g.shape
-        yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
-                             indexing="ij")
-        bump = np.exp(-((xx ** 2 + yy ** 2) / 0.18)).astype(np.float32)
-        params[f"density_plane_{i}"] = g + 5.0 * jnp.asarray(bump)[..., None]
-    return params
+    # the SAME solid blob as bench.py: both frameworks then acc-mask (and
+    # relight) nearly the whole batch from step 0, so the ray counting is
+    # matched work, not a training-dynamics artifact
+    from tensoir_tpu.utils.bench_scene import seed_solid_blob
+    return seed_solid_blob(params)
 
 
 def build_pair():
@@ -144,12 +140,8 @@ def build_pair():
 
 
 def make_batch():
-    rng = np.random.default_rng(0)
-    o = np.zeros((B, 3), np.float32)
-    o[:, 2] = -4.0
-    d = rng.normal(size=(B, 3)).astype(np.float32) * 0.15
-    d[:, 2] = 1.0
-    return np.concatenate([o, d], -1)
+    from tensoir_tpu.utils.bench_scene import bench_rays
+    return bench_rays(B)
 
 
 def bench_reference(model, rays_np, n_iters=3):

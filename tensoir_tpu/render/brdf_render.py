@@ -60,6 +60,7 @@ def render_with_brdf(
     second_window: int = 0,
     second_window_back: int = 0,
     second_prepass_n: int = 18,
+    coarse_dilate: int = 2,
     secondary_compact_frac: float = 0.0,
     use_linear2srgb: bool = True,
 ) -> jax.Array:
@@ -87,6 +88,7 @@ def render_with_brdf(
         use_baked=secondary_use_baked, bake_reso=secondary_bake_reso,
         window=second_window, window_back=second_window_back,
         prepass_n=second_prepass_n,
+        coarse_dilate=coarse_dilate,
         compact_frac=secondary_compact_frac)
 
     specular = ggx_specular(normal_map, surf2c, surf2l, roughness_map,

@@ -135,6 +135,8 @@ def render_rays(
     white_bg: bool = True,
     app_cap: int = 32,
     march_cap: int = 0,   # 0 = dense march; >0 = occupancy-culled marching
+    march_select: str = "topk",  # occupied-sample selection: 'topk' (sort)
+                                 # or 'scatter' (cumsum+scatter, same result)
     ndc_ray: bool = False,
     normal_gt: Optional[jax.Array] = None,  # [B, 3] for 'gt_normals'
 ) -> Dict[str, jax.Array]:
@@ -177,7 +179,9 @@ def render_rays(
     # culling, so results are identical (see select_occupied_samples)
     if 0 < march_cap < n_samples:
         occ = F.sample_alpha_mask_nearest(scene, xyz)
-        midx, ray_valid = select_occupied_samples(ray_valid & occ, march_cap)
+        select = (select_occupied_samples_scatter if march_select == "scatter"
+                  else select_occupied_samples)
+        midx, ray_valid = select(ray_valid & occ, march_cap)
         coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
         z_vals = jnp.take_along_axis(z_vals, midx, axis=1)
         dists = jnp.take_along_axis(dists, midx, axis=1)

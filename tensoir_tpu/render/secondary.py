@@ -293,6 +293,7 @@ def secondary_shading_tiled(
     window: int = 0,
     window_back: int = 0,
     prepass_n: int = 18,
+    coarse_dilate: int = 2,
     compact_frac: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
@@ -321,7 +322,12 @@ def secondary_shading_tiled(
             F.bake_packed_sigma_grid(cfg, params, scene,
                                      max_reso=bake_reso))
         if 0 < window < n_sample:
-            coarse = jax.lax.stop_gradient(F.bake_coarse_occupancy(baked))
+            # conservativeness contract: half the prepass spacing must stay
+            # <= coarse_dilate * coarse cell (see bake_coarse_occupancy) —
+            # a larger dilate therefore buys a smaller prepass_n at the cost
+            # of wider spans (more window truncation risk)
+            coarse = jax.lax.stop_gradient(
+                F.bake_coarse_occupancy(baked, dilate=coarse_dilate))
 
     P, L, _ = surf2light.shape
     pts = jnp.broadcast_to(surf_pts[:, None, :], (P, L, 3)).reshape(-1, 3)

@@ -33,12 +33,14 @@ def render_train_batch(
     sample_method: str = "stratified_sampling",
     app_cap: int = 32,
     march_cap: int = 0,
+    march_select: str = "topk",
     second_march_cap: int = 32,
     secondary_use_baked: bool = True,
     secondary_bake_reso: int = 0,
     second_window: int = 0,
     second_window_back: int = 0,
     second_prepass_n: int = 18,
+    coarse_dilate: int = 2,
     secondary_compact_frac: float = 0.0,
     ndc_ray: bool = False,
     relight_ray_cap: int = 1024,
@@ -57,7 +59,8 @@ def render_train_batch(
         cfg, params, scene, rays, light_idx,
         n_samples=n_samples, key=k_fwd, is_train=is_train,
         is_relight=is_relight, white_bg=white_bg, app_cap=app_cap,
-        march_cap=march_cap, ndc_ray=ndc_ray, normal_gt=normal_gt)
+        march_cap=march_cap, march_select=march_select,
+        ndc_ray=ndc_ray, normal_gt=normal_gt)
 
     if not is_relight:
         ret["rgb_with_brdf_map"] = jnp.ones_like(ret["rgb_map"])
@@ -99,6 +102,7 @@ def render_train_batch(
         second_window=second_window,
         second_window_back=second_window_back,
         second_prepass_n=second_prepass_n,
+        coarse_dilate=coarse_dilate,
         secondary_compact_frac=secondary_compact_frac,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)

@@ -58,6 +58,8 @@ class StepStatic:
     second_window: int = 0            # interval-culled secondary march
     second_window_back: int = 0       # back-anchored part of the window
     second_prepass_n: int = 18        # coarse-occupancy prepass samples
+    coarse_dilate: int = 2            # coarse-occupancy dilation (cells)
+    march_select: str = "topk"        # primary occupied-sample selection
     secondary_compact_frac: float = 0.0  # hemisphere-pair compaction
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
@@ -78,12 +80,14 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         is_train=not st.deterministic,
         is_relight=st.is_relight, white_bg=st.white_bg,
         sample_method=st.sample_method, app_cap=st.app_cap,
-        march_cap=st.march_cap, second_march_cap=st.second_march_cap,
+        march_cap=st.march_cap, march_select=st.march_select,
+        second_march_cap=st.second_march_cap,
         secondary_use_baked=st.secondary_use_baked,
         secondary_bake_reso=st.secondary_bake_reso,
         second_window=st.second_window,
         second_window_back=st.second_window_back,
         second_prepass_n=st.second_prepass_n,
+        coarse_dilate=st.coarse_dilate,
         secondary_compact_frac=st.secondary_compact_frac,
         ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,

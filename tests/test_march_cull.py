@@ -67,6 +67,29 @@ def test_primary_culled_matches_dense():
                                    rtol=1e-4, err_msg=k)
 
 
+def test_render_rays_march_select_scatter_matches_topk():
+    """march_select='scatter' (cumsum+scatter selection) must reproduce the
+    top_k path bit-for-bit through the full forward."""
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(3)
+    o = np.zeros((24, 3), np.float32)
+    o[:, 2] = -4.0
+    d = rng.normal(size=(24, 3)).astype(np.float32) * 0.1
+    d[:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate([o, d], -1))
+    lidx = jnp.zeros(24, jnp.int32)
+    outs = {}
+    for sel in ("topk", "scatter"):
+        outs[sel] = render_rays(cfg, params, scene, rays, lidx, n_samples=64,
+                                key=None, is_train=False, is_relight=True,
+                                white_bg=True, march_cap=48, march_select=sel)
+    for k in ("rgb_map", "depth_map", "acc_map", "albedo_map", "normal_map"):
+        np.testing.assert_allclose(np.asarray(outs["scatter"][k]),
+                                   np.asarray(outs["topk"][k]), atol=1e-6,
+                                   err_msg=k)
+
+
 def test_secondary_culled_matches_dense():
     cfg, params, scene = _model_with_mask()
     rng = np.random.default_rng(1)
