@@ -36,12 +36,14 @@ def main():
     from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
 
     platform = jax.devices()[0].platform
-    B, GRID, N_SAMPLES, RELIGHT_CAP = 4096, 200, 700, 1024
+    B, GRID, N_SAMPLES, RELIGHT_CAP = 4096, 200, 700, 4096
     ENV_H, ENV_W, SECOND_N, TILE = 16, 32, 96, 32768
+    WINDOW, WINDOW_BACK, COMPACT = 48, 16, 0.5625
     MASK_RESO = 128
     if platform == "cpu":
         B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 32
         ENV_H, ENV_W, SECOND_N, TILE = 4, 8, 16, 1024
+        WINDOW, WINDOW_BACK = 12, 4
         MASK_RESO = 24
 
     cfg = FieldConfig(density_n_comp=(16, 16, 16), app_n_comp=(48, 48, 48),
@@ -52,13 +54,8 @@ def main():
     aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
     params, scene = init_field_params(
         jax.random.PRNGKey(0), cfg, (GRID, GRID, GRID), aabb)
-    for i in range(3):
-        g = params[f"density_plane_{i}"]
-        H, W, _ = g.shape
-        yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
-                             indexing="ij")
-        bump = np.exp(-((xx ** 2 + yy ** 2) / 0.18)).astype(np.float32)
-        params[f"density_plane_{i}"] = g + 5.0 * jnp.asarray(bump)[..., None]
+    from tensoir_tpu.utils.bench_scene import bench_rays, seed_solid_blob
+    params = seed_solid_blob(params)
     scene, _ = update_alpha_mask(cfg, params, scene,
                                  (MASK_RESO,) * 3)
 
@@ -68,16 +65,13 @@ def main():
                     app_cap=32, relight_ray_cap=RELIGHT_CAP,
                     march_cap=192, second_march_cap=32,
                     secondary_use_baked=True, secondary_bake_reso=128,
+                    second_window=WINDOW, second_window_back=WINDOW_BACK,
+                    secondary_compact_frac=COMPACT,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)
 
-    rng = np.random.default_rng(0)
-    o = np.zeros((B, 3), np.float32)
-    o[:, 2] = -4.0
-    d = rng.normal(size=(B, 3)).astype(np.float32) * 0.15
-    d[:, 2] = 1.0
-    batch = {"rays": jnp.asarray(np.concatenate([o, d], -1)),
+    batch = {"rays": jnp.asarray(bench_rays(B)),
              "rgbs": jnp.full((B, 3), 0.5, jnp.float32),
              "light_idx": jnp.zeros((B,), jnp.int32)}
     key = jax.random.PRNGKey(1)
@@ -124,12 +118,19 @@ def main():
     lidx = jnp.zeros((RELIGHT_CAP,), jnp.int32)
     pmask = jnp.ones((RELIGHT_CAP, L), bool)
 
-    sec = jax.jit(lambda p: secondary.secondary_shading_tiled(
-        cfg, p, scene, pts, dirs, lidx, pmask,
-        n_sample=SECOND_N, vis_near=st.second_near, vis_far=st.second_far,
-        tile=TILE, app_cap=16, march_cap=st.second_march_cap,
-        use_baked=True, bake_reso=st.secondary_bake_reso))
-    timeit("secondary", lambda i: sec(params),
+    def make_sec(app_cap):
+        return jax.jit(lambda p: secondary.secondary_shading_tiled(
+            cfg, p, scene, pts, dirs, lidx, pmask,
+            n_sample=SECOND_N, vis_near=st.second_near,
+            vis_far=st.second_far,
+            tile=TILE, app_cap=app_cap, march_cap=st.second_march_cap,
+            use_baked=True, bake_reso=st.secondary_bake_reso,
+            window=WINDOW, window_back=WINDOW_BACK,
+            compact_frac=COMPACT))
+    timeit("secondary", lambda i, f=make_sec(16): f(params),
+           lambda vi: float(vi[0].ravel()[0]))
+    # app-stage slope: (secondary - secondary_app4) / 12 = ms per app sample
+    timeit("secondary_app4", lambda i, f=make_sec(4): f(params),
            lambda vi: float(vi[0].ravel()[0]))
 
     # 5) primary forward only (relight branch on)
