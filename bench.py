@@ -94,7 +94,8 @@ def main():
 
     st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
                     app_cap=32, relight_ray_cap=RELIGHT_CAP,
-                    march_cap=192, second_march_cap=32,
+                    march_cap=192, march_select="scatter",
+                    second_march_cap=32,
                     secondary_use_baked=True,
                     secondary_bake_reso=128,
                     second_window=WINDOW,

@@ -36,6 +36,10 @@ def main(argv=None):
                         help="back-anchored part of the window")
     parser.add_argument("--prepass", type=int, default=18,
                         help="coarse-occupancy prepass samples")
+    parser.add_argument("--dilate", type=int, default=2,
+                        help="coarse-occupancy dilation (cells); larger "
+                             "dilate legally buys a smaller prepass under "
+                             "the conservativeness contract")
     parser.add_argument("--compact", type=float, default=0.0,
                         help="hemisphere-pair compaction fraction (0=off)")
     parser.add_argument("--relight_cap", type=int, default=512,
@@ -87,6 +91,7 @@ def main(argv=None):
         second_window=args.window,
         second_window_back=args.window_back,
         second_prepass_n=args.prepass,
+        coarse_dilate=args.dilate,
         secondary_compact_frac=args.compact,
         secondary_tile=32768,
         secondary_bake_reso=args.bake_reso,

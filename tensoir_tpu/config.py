@@ -161,6 +161,13 @@ class TensoIRConfig:
     # keep half the prepass spacing <= the coarse dilation margin
     # (field.bake_coarse_occupancy docstring).
     second_prepass_n: int = 18
+    # Coarse-occupancy dilation in coarse cells. A larger dilate legally
+    # buys a smaller prepass (margin = dilate * cell) at the cost of wider
+    # detected spans.
+    coarse_dilate: int = 2
+    # Primary occupied-sample selection: 'topk' (sort) or 'scatter'
+    # (cumsum+scatter; bit-identical result, faster on TPU).
+    march_select: str = "topk"
     # Hemisphere-pair compaction: march only cosine-valid (point, dir)
     # pairs, compacted to ceil(P*L*frac) rows (0 = dense+mask). The
     # reference likewise computes visibility only for unmasked pairs

@@ -238,6 +238,8 @@ def reconstruction(
             second_window=cfg.second_window,
             second_window_back=cfg.second_window_back,
             second_prepass_n=cfg.second_prepass_n,
+            coarse_dilate=cfg.coarse_dilate,
+            march_select=cfg.march_select,
             secondary_compact_frac=cfg.secondary_compact_frac,
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
