@@ -96,6 +96,10 @@ def main():
     loss = float(metrics["total_loss"])
     elapsed = time.time() - t0
 
+    # exercise the artifact-write barrier (reference `synchronize`,
+    # utils.py:231-242): every process must pass it without deadlock
+    multihost.barrier("worker_done")
+
     leaves, _ = jax.tree.flatten_with_path(params)
     checksums = {jax.tree_util.keystr(path): float(jnp.sum(jnp.abs(leaf)))
                  for path, leaf in leaves}

@@ -54,3 +54,21 @@ def host_key(key):
     """Deterministic per-host PRNG stream."""
     import jax
     return jax.random.fold_in(key, jax.process_index())
+
+
+def barrier(name: str = "barrier"):
+    """Block until every process reaches this point.
+
+    The reference's `synchronize` (utils.py:231-242) wraps
+    torch.distributed.barrier around artifact writes; this is the JAX
+    multihost analog — used e.g. so non-zero processes don't read a
+    checkpoint that process 0 is still writing. No-op single-process.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    # a psum over one scalar per process forces a cross-host collective;
+    # pulling the result to host blocks until every process contributed
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)

@@ -29,6 +29,7 @@ import numpy as np
 from tensoir_tpu.config import TensoIRConfig
 from tensoir_tpu.models.field import FieldConfig, init_field_params, grid_size_of
 from tensoir_tpu.models import lifecycle as LC
+from tensoir_tpu.parallel import multihost
 from tensoir_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from tensoir_tpu.profiling import MetricsLogger, RayThroughputMeter
 from tensoir_tpu.train.optim import make_optimizer, decay_factor
@@ -390,20 +391,27 @@ def reconstruction(
 
         if log_dir and cfg.save_iters > 0 and it > 0 \
                 and it % cfg.save_iters == 0:
-            save_checkpoint(os.path.join(log_dir, f"ckpt_{it}.npz"),
-                            fcfg, jax.tree.map(np.asarray, params),
-                            jax.tree.map(np.asarray, scene),
-                            extra=train_state_extra(it + 1),
-                            opt_state=jax.tree.map(np.asarray, opt_state),
-                            rng_key=np.asarray(key))
+            # params are replicated: process 0 writes, everyone else waits
+            # (reference `synchronize` barrier around artifact writes,
+            # utils.py:231-242)
+            if is_main:
+                save_checkpoint(os.path.join(log_dir, f"ckpt_{it}.npz"),
+                                fcfg, jax.tree.map(np.asarray, params),
+                                jax.tree.map(np.asarray, scene),
+                                extra=train_state_extra(it + 1),
+                                opt_state=jax.tree.map(np.asarray, opt_state),
+                                rng_key=np.asarray(key))
+            multihost.barrier("ckpt_save")
 
     if log_dir:
-        save_checkpoint(os.path.join(log_dir, "ckpt_final.npz"),
-                        fcfg, jax.tree.map(np.asarray, params),
-                        jax.tree.map(np.asarray, scene),
-                        extra=train_state_extra(n_iters),
-                        opt_state=jax.tree.map(np.asarray, opt_state),
-                        rng_key=np.asarray(key))
+        if is_main:
+            save_checkpoint(os.path.join(log_dir, "ckpt_final.npz"),
+                            fcfg, jax.tree.map(np.asarray, params),
+                            jax.tree.map(np.asarray, scene),
+                            extra=train_state_extra(n_iters),
+                            opt_state=jax.tree.map(np.asarray, opt_state),
+                            rng_key=np.asarray(key))
+        multihost.barrier("ckpt_final")
         if logger:
             logger.close()
 
