@@ -55,12 +55,16 @@ def main():
     WINDOW = 48            # interval-culled secondary march
     WINDOW_BACK = 16       # back-anchored split (two-interval coverage)
     COMPACT = 0.5625       # hemisphere-pair compaction
+    PREPASS = 12           # coarse-occupancy prepass samples
+    DILATE = 3             # coarse dilation (margin >= half prepass spacing;
+                           # quality gate: log/synthetic_demo_r2_d3p12)
 
     if platform == "cpu":  # CI / local smoke fallback
         B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 256
         ENV_H, ENV_W, SECOND_N, TILE = 4, 8, 16, 1024
         WINDOW = 12
         WINDOW_BACK = 4
+        PREPASS = 8
 
     cfg = FieldConfig(
         density_n_comp=(16, 16, 16),
@@ -100,6 +104,8 @@ def main():
                     secondary_bake_reso=128,
                     second_window=WINDOW,
                     second_window_back=WINDOW_BACK,
+                    second_prepass_n=PREPASS,
+                    coarse_dilate=DILATE,
                     secondary_compact_frac=COMPACT,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,

@@ -63,9 +63,11 @@ def main():
     opt_state = optimizer.init(params)
     st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
                     app_cap=32, relight_ray_cap=RELIGHT_CAP,
-                    march_cap=192, second_march_cap=32,
+                    march_cap=192, march_select="scatter",
+                    second_march_cap=32,
                     secondary_use_baked=True, secondary_bake_reso=128,
                     second_window=WINDOW, second_window_back=WINDOW_BACK,
+                    second_prepass_n=12, coarse_dilate=3,
                     secondary_compact_frac=COMPACT,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
@@ -126,6 +128,7 @@ def main():
             tile=TILE, app_cap=app_cap, march_cap=st.second_march_cap,
             use_baked=True, bake_reso=st.secondary_bake_reso,
             window=WINDOW, window_back=WINDOW_BACK,
+            prepass_n=st.second_prepass_n, coarse_dilate=st.coarse_dilate,
             compact_frac=COMPACT))
     timeit("secondary", lambda i, f=make_sec(16): f(params),
            lambda vi: float(vi[0].ravel()[0]))
