@@ -165,9 +165,9 @@ class TensoIRConfig:
     # buys a smaller prepass (margin = dilate * cell) at the cost of wider
     # detected spans.
     coarse_dilate: int = 2
-    # Primary occupied-sample selection: 'topk' (sort) or 'scatter'
-    # (cumsum+scatter; bit-identical result, faster on TPU).
-    march_select: str = "topk"
+    # Primary occupied-sample selection: 'scatter' (cumsum+scatter,
+    # default — bit-identical to 'topk' and faster on TPU) or 'topk'.
+    march_select: str = "scatter"
     # Hemisphere-pair compaction: march only cosine-valid (point, dir)
     # pairs, compacted to ceil(P*L*frac) rows (0 = dense+mask). The
     # reference likewise computes visibility only for unmasked pairs

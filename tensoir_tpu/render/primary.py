@@ -135,8 +135,9 @@ def render_rays(
     white_bg: bool = True,
     app_cap: int = 32,
     march_cap: int = 0,   # 0 = dense march; >0 = occupancy-culled marching
-    march_select: str = "topk",  # occupied-sample selection: 'topk' (sort)
-                                 # or 'scatter' (cumsum+scatter, same result)
+    march_select: str = "scatter",  # occupied-sample selection:
+                                    # 'scatter' (cumsum+scatter, default)
+                                    # or 'topk' (sort) — bit-identical
     ndc_ray: bool = False,
     normal_gt: Optional[jax.Array] = None,  # [B, 3] for 'gt_normals'
 ) -> Dict[str, jax.Array]:

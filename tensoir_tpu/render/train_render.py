@@ -33,7 +33,7 @@ def render_train_batch(
     sample_method: str = "stratified_sampling",
     app_cap: int = 32,
     march_cap: int = 0,
-    march_select: str = "topk",
+    march_select: str = "scatter",
     second_march_cap: int = 32,
     secondary_use_baked: bool = True,
     secondary_bake_reso: int = 0,

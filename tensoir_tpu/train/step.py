@@ -59,7 +59,7 @@ class StepStatic:
     second_window_back: int = 0       # back-anchored part of the window
     second_prepass_n: int = 18        # coarse-occupancy prepass samples
     coarse_dilate: int = 2            # coarse-occupancy dilation (cells)
-    march_select: str = "topk"        # primary occupied-sample selection
+    march_select: str = "scatter"     # primary occupied-sample selection
     secondary_compact_frac: float = 0.0  # hemisphere-pair compaction
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
