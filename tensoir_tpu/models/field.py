@@ -537,6 +537,37 @@ def bake_coarse_occupancy(packed: jax.Array, reso: int = 48,
     return coarse
 
 
+def check_march_contract(aabb_np, *, prepass_n: int, dilate: int = 2,
+                         coarse_reso: int = 48, vis_near: float = 0.05,
+                         vis_far: float = 1.5) -> float:
+    """Validate the interval-culled march's conservativeness contract.
+
+    The prepass can only guarantee it never steps over an occupied coarse
+    cell if half its sample spacing <= the dilation margin
+    (dilate * cell, cell = min aabb extent / coarse_reso — the MIN extent
+    because the aabb shrinks anisotropically during training and the
+    tightest axis sets the worst case; see bake_coarse_occupancy).
+
+    Host-side (numpy), called once per jit-phase build — raises ValueError
+    on violation so a config change can't silently turn the exact cull
+    into a light-leaking approximation. Returns the safety margin ratio
+    (>= 1 means safe, with margin/half-spacing slack).
+    """
+    aabb_np = np.asarray(aabb_np, np.float64).reshape(2, 3)
+    cell = float(np.min(aabb_np[1] - aabb_np[0])) / coarse_reso
+    margin = dilate * cell
+    half_spacing = 0.5 * (vis_far - vis_near) / max(prepass_n - 1, 1)
+    if half_spacing > margin:
+        raise ValueError(
+            f"interval-culled march contract violated: half prepass "
+            f"spacing {half_spacing:.4f} > dilation margin {margin:.4f} "
+            f"(prepass_n={prepass_n}, dilate={dilate}, "
+            f"coarse_reso={coarse_reso}, min aabb extent "
+            f"{np.min(aabb_np[1] - aabb_np[0]):.3f}) — raise prepass_n or "
+            f"dilate, or lower coarse_reso")
+    return margin / half_spacing
+
+
 def coarse_occupancy_lookup(coarse: jax.Array, packed_shape, coords):
     """Nearest-cell coarse-occupancy lookup at normalized coords [..., 3].
 

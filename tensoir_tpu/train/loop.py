@@ -28,6 +28,7 @@ import numpy as np
 
 from tensoir_tpu.config import TensoIRConfig
 from tensoir_tpu.models.field import FieldConfig, init_field_params, grid_size_of
+from tensoir_tpu.models import field as F
 from tensoir_tpu.models import lifecycle as LC
 from tensoir_tpu.parallel import multihost
 from tensoir_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -225,6 +226,15 @@ def reconstruction(
                                 seed=cfg.seed + start_it + jax.process_index())
 
     def build_step(lr_scale: float):
+        if relight and 0 < cfg.second_window < cfg.second_nSample:
+            # conservativeness contract, re-checked against the CURRENT
+            # (possibly shrunk) aabb at every jit-phase rebuild — a config
+            # change must not silently turn the exact interval cull into a
+            # light-leaking approximation
+            F.check_march_contract(
+                np.asarray(scene["aabb"]),
+                prepass_n=cfg.second_prepass_n, dilate=cfg.coarse_dilate,
+                vis_near=cfg.second_near, vis_far=cfg.second_far)
         optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
                                    cfg.lr_basis * lr_scale, lr_factor)
         opt_state = optimizer.init(params)

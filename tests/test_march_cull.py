@@ -378,3 +378,21 @@ def test_double_window_exact_for_short_spans():
                                      prepass_n=24, **kw)
     np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_s), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a_d), np.asarray(a_s), atol=1e-6)
+
+
+def test_march_contract_checker():
+    """check_march_contract: canonical configs pass; a violating prepass
+    raises (guards the interval-cull conservativeness at phase rebuilds)."""
+    import numpy as np
+    import pytest
+    from tensoir_tpu.models.field import check_march_contract
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    # canonical configs (bench d3p12 and legacy d2p18) are safe
+    assert check_march_contract(aabb, prepass_n=12, dilate=3) >= 1.0
+    assert check_march_contract(aabb, prepass_n=18, dilate=2) >= 1.0
+    # shrunk demo-scene aabb (min extent ~1.4) still safe at canonical
+    shrunk = np.array([[-0.7, -0.7, -0.7], [0.7, 0.7, 0.7]], np.float32)
+    assert check_march_contract(shrunk, prepass_n=12, dilate=3) >= 1.0
+    # too-sparse prepass on the shrunk aabb violates -> raises
+    with pytest.raises(ValueError, match="contract violated"):
+        check_march_contract(shrunk, prepass_n=6, dilate=2)
