@@ -182,6 +182,7 @@ def bench_reference(model, rays_np, n_iters=3):
         return float(total)
 
     step()  # warmup
+    masked_counts.clear()   # count only the timed steps (ours does the same)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         step()

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-2 queue C: dilate-3 prepass-12 quality gate, then the final bench.
 cd /root/repo
-export PYTHONPATH="/root/repo:/root/.axon_site"
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 
 echo "=== [1/2] demo D: dilate3 + prepass12 quality gate (vs demo B)"
 python examples/train_synthetic_demo.py --iters 5000 --bake_reso 128 \

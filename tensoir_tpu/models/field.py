@@ -17,6 +17,12 @@ SURVEY.md §2.3/§2.4):
   as 'vm' but coupled storage: one lr group for the shared factors, joint
   upsample/shrink — and on TPU one packed-plane gather per axis serves
   both fields (gather rows are priced per-row, width is free).
+  DELIBERATE EXTENSION vs the cite: the unified model keeps the
+  `light_line` factor for every decomp; the legacy TensorVM has none
+  (compute_appfeature = basis_mat(plane*line), tensoRF_init.py:62-75).
+  For vm_stacked light_line is ones-initialized, so the forward is
+  identical to the reference at init, and with light_num=1 the trained
+  light_line is a per-channel scale absorbed by basis_mat.
 * `light_line` embedding [light_num, sum(Ra)] — TensoIR's multi-light
   factorization (tensoRF_rotated_lights.py:16).
 * basis matrix [sum(Ra), app_dim] (bias-free Linear, tensoRF_rotated_lights.py:14).
@@ -145,7 +151,16 @@ def init_field_params(key, cfg: FieldConfig, grid_size, aabb,
     bound = 1.0 / np.sqrt(sum_ra)
     params["basis_mat"] = jax.random.uniform(
         next(ki), (sum_ra, cfg.app_dim), minval=-bound, maxval=bound)
-    params["light_line"] = jax.random.normal(next(ki), (cfg.light_num, sum_ra))
+    if cfg.decomp == "vm_stacked":
+        # the legacy TensorVM (tensoRF_init.py:62-75) has NO light factor:
+        # compute_appfeature = basis_mat(plane*line). Ones-init makes our
+        # unified app path identical to it at init; with light_num=1 the
+        # trainable light_line is thereafter a per-channel scale absorbed
+        # by basis_mat (an overparameterization, not a functional change).
+        params["light_line"] = jnp.ones((cfg.light_num, sum_ra))
+    else:
+        params["light_line"] = jax.random.normal(next(ki),
+                                                 (cfg.light_num, sum_ra))
 
     # shading decoders
     if cfg.shading_mode == "MLP_Fea":

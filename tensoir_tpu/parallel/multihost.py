@@ -68,7 +68,9 @@ def barrier(name: str = "barrier"):
 
     if jax.process_count() == 1:
         return
-    # a psum over one scalar per process forces a cross-host collective;
-    # pulling the result to host blocks until every process contributed
+    # sync_global_devices: every process must call it with the SAME name
+    # (it asserts on mismatch), and the call blocks until all processes
+    # arrive — so it must only appear under conditions every process
+    # computes identically
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(name)

@@ -179,6 +179,9 @@ def render_rays(
     # gates only the kept samples — a strict superset of the reference's
     # culling, so results are identical (see select_occupied_samples)
     if 0 < march_cap < n_samples:
+        if march_select not in ("scatter", "topk"):
+            raise ValueError(f"unknown march_select {march_select!r} "
+                             "(expected 'scatter' or 'topk')")
         occ = F.sample_alpha_mask_nearest(scene, xyz)
         select = (select_occupied_samples_scatter if march_select == "scatter"
                   else select_occupied_samples)

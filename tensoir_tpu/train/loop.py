@@ -138,6 +138,10 @@ def reconstruction(
     else:
         mesh = make_mesh(cfg.mesh_data) if cfg.mesh_data > 1 else None
     is_main = jax.process_index() == 0
+    # every process must agree on whether checkpoint events happen (the
+    # barrier below is collective); keep the global answer before gating
+    # the actual writes to process 0
+    ckpt_requested = log_dir is not None
     if not is_main:
         log_dir = None   # artifacts (logger, checkpoints) only on process 0
     local_batch = cfg.batch_size // n_proc
@@ -399,11 +403,14 @@ def reconstruction(
             eval_fn(fcfg, params, scene, it, n_samples, logger=logger)
             meter.start()   # exclude eval time from the throughput window
 
-        if log_dir and cfg.save_iters > 0 and it > 0 \
+        if ckpt_requested and cfg.save_iters > 0 and it > 0 \
                 and it % cfg.save_iters == 0:
-            # params are replicated: process 0 writes, everyone else waits
+            # params are replicated: process 0 writes, everyone else waits.
+            # The condition uses ckpt_requested (identical on EVERY
+            # process) because the barrier is collective — gating it on
+            # the process-0-only log_dir would deadlock process 0
             # (reference `synchronize` barrier around artifact writes,
-            # utils.py:231-242)
+            # utils.py:231-242).
             if is_main:
                 save_checkpoint(os.path.join(log_dir, f"ckpt_{it}.npz"),
                                 fcfg, jax.tree.map(np.asarray, params),
@@ -413,7 +420,7 @@ def reconstruction(
                                 rng_key=np.asarray(key))
             multihost.barrier("ckpt_save")
 
-    if log_dir:
+    if ckpt_requested:
         if is_main:
             save_checkpoint(os.path.join(log_dir, "ckpt_final.npz"),
                             fcfg, jax.tree.map(np.asarray, params),
