@@ -225,3 +225,22 @@ def test_stacked_render_rays_forward():
                       white_bg=True)
     for k in ("rgb_map", "normal_map", "albedo_map", "acc_map"):
         assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_stacked_checkpoint_roundtrip(tmp_path):
+    """vm_stacked checkpoints restore the shared factors and the decomp
+    (field queries identical after load)."""
+    import jax
+    import jax.numpy as jnp
+    from tensoir_tpu.utils.ckpt import save_checkpoint, load_checkpoint
+    cfg, params, scene = _stacked_model()
+    path = str(tmp_path / "stacked.npz")
+    save_checkpoint(path, cfg, params, scene, extra={"iteration": 7})
+    cfg2, params2, scene2, extra = load_checkpoint(path)
+    assert cfg2.decomp == "vm_stacked"
+    assert extra["iteration"] == 7
+    rng = np.random.default_rng(4)
+    coords = jnp.asarray(rng.uniform(-1, 1, (32, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(F.density_feature(cfg, params, coords)),
+        np.asarray(F.density_feature(cfg2, params2, coords)), atol=0)
