@@ -66,7 +66,7 @@ def main(argv=None):
         chunk=cfg.batch_size, n_light_samples=512,
         second_n_sample=cfg.second_nSample,
         vis_tile=cfg.secondary_tile, rescale3=rescale3,
-        seed=cfg.seed)
+        seed=cfg.seed, fast_vis=cfg.relight_fast_vis)
     for name, r in results.items():
         print(f"{name}: {r}")
 

@@ -168,6 +168,10 @@ class TensoIRConfig:
     # Primary occupied-sample selection: 'scatter' (cumsum+scatter,
     # default — bit-identical to 'topk' and faster on TPU) or 'topk'.
     march_select: str = "scatter"
+    # Relighting benchmark: march visibility against the baked+windowed
+    # fast path instead of the exact VM march (default off = reference
+    # protocol, scripts/relight_importance.py:135-152).
+    relight_fast_vis: bool = False
     # Hemisphere-pair compaction: march only cosine-valid (point, dir)
     # pairs, compacted to ceil(P*L*frac) rows (0 = dense+mask). The
     # reference likewise computes visibility only for unmasked pairs

@@ -396,3 +396,25 @@ def test_march_contract_checker():
     # too-sparse prepass on the shrunk aabb violates -> raises
     with pytest.raises(ValueError, match="contract violated"):
         check_march_contract(shrunk, prepass_n=6, dilate=2)
+
+
+def test_relight_fast_vis_close_to_exact():
+    """The relight benchmark's optional fast_vis path (baked + windowed
+    march) tracks the exact VM transmittance closely in the mean; the
+    default benchmark protocol stays exact (relight_pipeline.py)."""
+    cfg, params, scene = _model_with_mask()
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (128, 3)).astype(np.float32))
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    exact, _ = compute_transmittance(cfg, params, scene, pts, d,
+                                     n_sample=96, march_cap=48)
+    from tensoir_tpu.models import field as F
+    baked = F.bake_packed_sigma_grid(cfg, params, scene, max_reso=128)
+    coarse = F.bake_coarse_occupancy(baked, dilate=3)
+    fast, _ = compute_transmittance(cfg, params, scene, pts, d,
+                                    n_sample=96, baked=baked, coarse=coarse,
+                                    window=48, window_back=16, prepass_n=12)
+    err = np.abs(np.asarray(exact) - np.asarray(fast))
+    assert err.mean() < 0.05, err.mean()
