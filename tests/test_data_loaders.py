@@ -206,3 +206,47 @@ def test_importance_sampling_distribution(tmp_path):
     pdf_return = p / p.sum() * 8 * 16 / (2 * np.pi ** 2 * sin_t[:, None])
     got_pdf = np.asarray(pdf)[0][hits][:, 0]
     np.testing.assert_allclose(got_pdf, pdf_return[2, 5], rtol=1e-4)
+
+
+def test_colmap_text_to_transforms(tmp_path):
+    """colmap2nerf conversion math without the colmap binary: synthetic
+    cameras.txt/images.txt -> transforms.json with the reference's
+    colmap->nerf axis flips (colmap2nerf.py conventions)."""
+    import json
+    import math
+    from tensoir_tpu.data.colmap2nerf import (_qvec2rotmat,
+                                              colmap_text_to_transforms)
+
+    # identity quaternion maps to identity rotation
+    np.testing.assert_allclose(_qvec2rotmat([1.0, 0, 0, 0]), np.eye(3),
+                               atol=1e-12)
+    # any unit quaternion yields a proper rotation
+    q = np.array([0.5, 0.5, 0.5, 0.5])
+    R = _qvec2rotmat(q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert abs(np.linalg.det(R) - 1.0) < 1e-12
+
+    text = tmp_path / "text"
+    text.mkdir()
+    (text / "cameras.txt").write_text(
+        "# cameras\n1 SIMPLE_RADIAL 800 600 700 400 300 0.01\n")
+    # two frames: identity pose and a z-translated pose
+    (text / "images.txt").write_text(
+        "# images\n"
+        "1 1 0 0 0 0 0 2 1 a.png\n"
+        "pts\n"
+        "2 1 0 0 0 0 0 4 1 b.png\n"
+        "pts\n")
+    out = tmp_path / "transforms.json"
+    colmap_text_to_transforms(str(text), str(tmp_path / "images"), str(out))
+    data = json.loads(out.read_text())
+    assert data["w"] == 800 and data["h"] == 600
+    assert abs(data["camera_angle_x"] - 2 * math.atan(800 / 1400)) < 1e-9
+    assert abs(data["k1"] - 0.01) < 1e-12
+    assert len(data["frames"]) == 2
+    for fr in data["frames"].values():
+        m = np.array(fr["transform_matrix"])
+        # c2w rotation stays orthonormal through the convention flips
+        np.testing.assert_allclose(m[:3, :3] @ m[:3, :3].T, np.eye(3),
+                                   atol=1e-9)
+        assert fr["light_idx"] == 0
