@@ -23,8 +23,8 @@ class EnvironmentLight:
         self.pdf_return: Dict[str, jnp.ndarray] = {}
         self.cdf: Dict[str, jnp.ndarray] = {}
         self.dirs: Dict[str, jnp.ndarray] = {}
-        self.uniform_cdf = None
-        self.uniform_pdf_return = None
+        self.uniform_cdf: Dict[str, jnp.ndarray] = {}
+        self.uniform_pdf_return: Dict[str, jnp.ndarray] = {}
 
         for fname in sorted(os.listdir(hdr_dir)):
             if not fname.endswith(".hdr"):
@@ -58,10 +58,14 @@ class EnvironmentLight:
                                      jnp.float32)
         self.dirs[name] = jnp.asarray(dirs.reshape(-1, 3), jnp.float32)
 
+        # per-light uniform tables: a shared table keyed off whichever HDR
+        # loaded last breaks when lights differ in resolution (indices drawn
+        # from one map's H*W-sized CDF would gather another map's dirs)
         uniform = np.ones_like(intensity) * sin_theta[:, None]
         u_pdf = uniform / uniform.sum()
-        self.uniform_cdf = jnp.asarray(np.cumsum(u_pdf.reshape(-1)), jnp.float32)
-        self.uniform_pdf_return = jnp.asarray(
+        self.uniform_cdf[name] = jnp.asarray(np.cumsum(u_pdf.reshape(-1)),
+                                             jnp.float32)
+        self.uniform_pdf_return[name] = jnp.asarray(
             (u_pdf * H * W / (2 * np.pi ** 2 * sin_theta[:, None])).reshape(-1),
             jnp.float32)
 
@@ -73,9 +77,10 @@ class EnvironmentLight:
                      sample_type: str = "importance"):
         """Per-surface-point light-dir draws (relight_utils.py:150-188).
         Returns (dir [bs,n,3], rgb [bs,n,3], pdf [bs,n,1])."""
-        cdf = self.cdf[name] if sample_type == "importance" else self.uniform_cdf
+        cdf = (self.cdf[name] if sample_type == "importance"
+               else self.uniform_cdf[name])
         pdf_ret = (self.pdf_return[name] if sample_type == "importance"
-                   else self.uniform_pdf_return)
+                   else self.uniform_pdf_return[name])
         n_tex = cdf.shape[0]
         u = jax.random.uniform(key, (bs, num_samples))
         idx = jnp.clip(jnp.searchsorted(cdf, u.reshape(-1), side="right"),

@@ -315,6 +315,14 @@ def _app_raw_feature(cfg: FieldConfig, params: Dict, coords):
     return jnp.concatenate(feats, axis=-1)
 
 
+def _basis_precision(dt):
+    """HIGHEST for the f32 compute path: the TPU default silently rounds
+    f32 matmul operands to bf16 (CLAUDE.md convention); bf16 compute keeps
+    the default."""
+    return (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def both_features(cfg: FieldConfig, params: Dict, coords, light_idx):
     """(radiance_feat, intrinsic_feat) per point.
 
@@ -326,11 +334,12 @@ def both_features(cfg: FieldConfig, params: Dict, coords, light_idx):
     lc = jnp.take(params["light_line"], light_idx, axis=0)      # [..., sumRa]
     mean_lc = jnp.mean(params["light_line"], axis=0)            # [sumRa]
     dt = cfg.cdtype
+    prec = _basis_precision(dt)
     basis = params["basis_mat"].astype(dt)
     rad = jnp.dot((pl * lc).astype(dt), basis,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32, precision=prec)
     intr = jnp.dot((pl * mean_lc).astype(dt), basis,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=prec)
     return rad, intr
 
 
@@ -340,7 +349,8 @@ def app_feature(cfg: FieldConfig, params: Dict, coords, light_idx):
     lc = jnp.take(params["light_line"], light_idx, axis=0)
     return jnp.dot((pl * lc).astype(cfg.cdtype),
                    params["basis_mat"].astype(cfg.cdtype),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=_basis_precision(cfg.cdtype))
 
 
 def intrin_feature(cfg: FieldConfig, params: Dict, coords):
@@ -349,7 +359,8 @@ def intrin_feature(cfg: FieldConfig, params: Dict, coords):
     mean_lc = jnp.mean(params["light_line"], axis=0)
     return jnp.dot((pl * mean_lc).astype(cfg.cdtype),
                    params["basis_mat"].astype(cfg.cdtype),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=_basis_precision(cfg.cdtype))
 
 
 def feature2density(cfg: FieldConfig, feat):
@@ -407,18 +418,6 @@ def density_feature_baked(baked: jax.Array, aabb, xyz) -> jax.Array:
     """Trilinear lookup of a baked sigma-feature grid at world points."""
     coords = normalize_coord(aabb, xyz)
     return trilerp_volume(baked, coords)
-
-
-def _interp_matrix_1d(n_out: int, n_in: int) -> jax.Array:
-    """[n_out, n_in] dense linear-interp matrix, align_corners=True.
-
-    Built from broadcasted iota + elementwise hat function — no gathers.
-    """
-    if n_in == 1:
-        return jnp.ones((n_out, 1), jnp.float32)
-    pos = jnp.linspace(0.0, n_in - 1.0, n_out)[:, None]        # [n_out, 1]
-    j = jnp.arange(n_in, dtype=jnp.float32)[None, :]           # [1, n_in]
-    return jnp.clip(1.0 - jnp.abs(pos - j), 0.0, None)
 
 
 def _mask_at_grid_nodes(scene: Dict, grid_xyz: Tuple[int, int, int]):

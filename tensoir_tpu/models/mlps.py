@@ -47,15 +47,24 @@ def init_mlp(key, in_dim: int, hidden: int, out_dim: int) -> Dict[str, jax.Array
 
 def apply_mlp(params: Dict[str, jax.Array], x: jax.Array,
               compute_dtype=jnp.float32) -> jax.Array:
+    # precision HIGHEST on the f32 path: the TPU default silently rounds
+    # f32 matmul OPERANDS to bf16 (CLAUDE.md: measured 3.6e-2 abs err) —
+    # preferred_element_type alone only fixes the accumulator. The bf16
+    # compute path keeps the default (operands are already bf16).
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     x = x.astype(compute_dtype)
     h = jax.nn.relu(
         jnp.dot(x, params["w1"].astype(compute_dtype),
-                preferred_element_type=jnp.float32) + params["b1"])
+                preferred_element_type=jnp.float32,
+                precision=prec) + params["b1"])
     h = jax.nn.relu(
         jnp.dot(h.astype(compute_dtype), params["w2"].astype(compute_dtype),
-                preferred_element_type=jnp.float32) + params["b2"])
+                preferred_element_type=jnp.float32,
+                precision=prec) + params["b2"])
     out = jnp.dot(h.astype(compute_dtype), params["w3"].astype(compute_dtype),
-                  preferred_element_type=jnp.float32) + params["b3"]
+                  preferred_element_type=jnp.float32,
+                  precision=prec) + params["b3"]
     return out
 
 

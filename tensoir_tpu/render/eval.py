@@ -175,8 +175,17 @@ def evaluation_iter(
     has_albedo = "albedo" in test_dataset[0] if len(test_dataset) else False
     global_single = global_three = None
     if test_all and has_albedo:
+        # the rescale ratio only reads albedo_map, which the PRIMARY pass
+        # produces (reference renderer.py:12-53 likewise uses the forward
+        # only) — a G-buffer chunk fn (relight_ray_cap=1 => one token ray
+        # through the BRDF integral) skips ~all secondary marching instead
+        # of relighting every pixel of ~20 full views and discarding it
+        gbuf_fn, gbuf_chunk = make_eval_chunk_fn(
+            cfg, n_samples=n_samples, chunk=chunk, white_bg=white_bg,
+            app_cap=app_cap, relight_ray_cap=1, second_n_sample=8,
+            secondary_tile=1024, ndc_ray=ndc_ray)
         global_single, global_three = compute_rescale_ratio(
-            chunk_fn, chunk, params, scene, test_dataset)
+            gbuf_fn, gbuf_chunk, params, scene, test_dataset)
 
     psnrs, psnrs_brdf, ssims, ssims_brdf = [], [], [], []
     lpipss: Dict[str, list] = {}

@@ -219,7 +219,9 @@ def render_rays(
         return jnp.take_along_axis(x, top_idx[..., None], axis=1)
 
     pts_sel = gather(coords)                                    # [B, k, 3]
-    w_sel = jnp.take_along_axis(weight, top_idx, axis=1) * sel_mask
+    # top_w IS the gathered weight wherever sel_mask holds (and w_sel is
+    # masked anyway) — no second [B, k] gather needed on the hot path
+    w_sel = top_w * sel_mask
     vdirs_sel = jnp.broadcast_to(viewdirs[:, None, :], pts_sel.shape)
     lidx_sel = jnp.broadcast_to(light_idx[:, None], (B, pts_sel.shape[1]))
 

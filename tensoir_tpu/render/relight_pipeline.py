@@ -48,9 +48,6 @@ def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
       (relight_without_bg [B,3], relight_with_bg [B,3], acc [B],
        albedo [B,3], roughness [B,1], normal [B,3], depth [B])."""
 
-    env_dirs = env.dirs[light_name]
-    env_rgb_flat = env.rgbs[light_name]
-
     @jax.jit
     def chunk_fn(params, scene, rays, key, rescale3):
         # fast_vis: march visibility against the corner-packed baked sigma
@@ -160,6 +157,12 @@ def relight_benchmark(
     """Run the full relighting eval; returns {light_name: {psnr, ssim}}."""
     import imageio.v2 as imageio
 
+    if fast_vis:
+        # the windowed fast path must satisfy the same conservativeness
+        # contract the training loop enforces (train/loop.py) — checked
+        # against this checkpoint's (possibly shrunk) aabb
+        F.check_march_contract(np.asarray(scene["aabb"]), prepass_n=12,
+                               dilate=3)
     light_names = [n for n in dataset.light_names if n in env.rgbs]
     if rescale3 is None:
         rescale3 = jnp.ones((3,), jnp.float32)

@@ -57,17 +57,33 @@ def _march_window(cfg, baked, coarse, aabb, o, d, *, n_sample: int,
     S = n_sample
     dt = (vis_far - vis_near) / (S - 1)
 
-    # --- prepass: conservative occupancy at prepass_n equally spaced ts
-    tp = jnp.linspace(vis_near, vis_far, prepass_n, dtype=o.dtype)
-    s_p = (vis_far - vis_near) / (prepass_n - 1)
-    xyz_p = o[:, None, :] + d[:, None, :] * tp[None, :, None]
-    inb = jnp.all((xyz_p >= aabb[0]) & (xyz_p <= aabb[1]), axis=-1)
+    # --- prepass: conservative occupancy at prepass_n equally spaced ts,
+    # placed over the ray's IN-AABB parameter range [t_lo, t_hi] rather
+    # than the full [vis_near, vis_far]. Clamping the sample range (instead
+    # of masking out-of-aabb samples with an in-bounds test) closes a
+    # boundary hole: with masking, occupied cells between the last in-aabb
+    # sample and the aabb exit got no prepass hit at all. Per-pair spacing
+    # only SHRINKS vs the nominal, so the conservativeness contract
+    # (half spacing <= dilation margin) keeps holding.
+    eps = jnp.asarray(1e-9, o.dtype)
+    t0b = (aabb[0] - o) / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    t1b = (aabb[1] - o) / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    t_en = jnp.max(jnp.minimum(t0b, t1b), axis=-1)               # [N]
+    t_ex = jnp.min(jnp.maximum(t0b, t1b), axis=-1)               # [N]
+    t_lo = jnp.clip(t_en, vis_near, vis_far)
+    t_hi = jnp.clip(t_ex, vis_near, vis_far)
+    hit = t_hi > t_lo + eps
+    frac = jnp.linspace(0.0, 1.0, prepass_n, dtype=o.dtype)
+    tp = t_lo[:, None] * (1.0 - frac[None]) + t_hi[:, None] * frac[None]
+    s_p = ((t_hi - t_lo) / (prepass_n - 1))[:, None]             # [N, 1]
+    xyz_p = o[:, None, :] + d[:, None, :] * tp[..., None]
     occ = F.coarse_occupancy_lookup(
-        coarse, baked.shape, F.normalize_coord(aabb, xyz_p)) & inb   # [N, P]
+        coarse, baked.shape, F.normalize_coord(aabb, xyz_p))     # [N, P]
+    occ = occ & hit[:, None]
 
     big = jnp.asarray(1e9, o.dtype)
-    t_ent = jnp.min(jnp.where(occ, tp[None] - 0.5 * s_p, big), axis=1)
-    t_exit = jnp.max(jnp.where(occ, tp[None] + 0.5 * s_p, -big), axis=1)
+    t_ent = jnp.min(jnp.where(occ, tp - 0.5 * s_p, big), axis=1)
+    t_exit = jnp.max(jnp.where(occ, tp + 0.5 * s_p, -big), axis=1)
     any_occ = jnp.any(occ, axis=1)
 
     j0 = jnp.clip(jnp.floor((t_ent - vis_near) / dt),
