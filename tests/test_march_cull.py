@@ -418,3 +418,48 @@ def test_relight_fast_vis_close_to_exact():
                                     window=48, window_back=16, prepass_n=12)
     err = np.abs(np.asarray(exact) - np.asarray(fast))
     assert err.mean() < 0.05, err.mean()
+
+
+def test_window_covers_aabb_boundary_occupancy():
+    """Regression: occupancy abutting the aabb exit face must be detected
+    by the prepass (the old in-bounds masking missed occupied cells
+    between the last in-aabb prepass sample and the aabb exit)."""
+    from tensoir_tpu.models import field as F
+    from tensoir_tpu.models.field import FieldConfig, init_field_params
+
+    cfg = FieldConfig(density_n_comp=(4,) * 3, app_n_comp=(8,) * 3,
+                      app_dim=6, feature_c=32, num_sgs=16, envmap_h=4,
+                      envmap_w=8, step_ratio=2.0,
+                      normals_kind="purely_predicted")
+    aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+    params, scene = init_field_params(jax.random.PRNGKey(0), cfg,
+                                      (32, 32, 32), aabb)
+    # a dense slab pressed against the +x aabb face, built from the
+    # axis-2 factor pair (plane_2 over (y,z), line_2 over x): plane = 1,
+    # line peaked in the last x rows -> feature ~20 there, sigma strong
+    params["density_plane_2"] = params["density_plane_2"].at[..., 0].set(1.0)
+    ln = params["density_line_2"]
+    prof = np.zeros(ln.shape[0], np.float32)
+    prof[-2:] = 30.0               # slab only in x ~ [0.94, 1.0]
+    params["density_line_2"] = ln.at[:, 0].set(jnp.asarray(prof))
+
+    baked = F.bake_packed_sigma_grid(cfg, params, scene)
+    # dilate 1 at reso 32 (margin = 1/16): under the OLD in-bounds masking
+    # the last in-aabb nominal prepass sample (t=0.855 of
+    # linspace(0.05, 1.5, 10)) sat > margin away from the dilated slab
+    # ([0.9, 1.0]) and the cull returned full transmittance; the clamped
+    # range places samples up to the aabb exit and detects it
+    coarse = F.bake_coarse_occupancy(baked, reso=32, dilate=1)
+
+    pts = jnp.asarray(np.array([[0.0, 0.0, 0.0]], np.float32))
+    dirs = jnp.asarray(np.array([[1.0, 0.0, 0.0]], np.float32))
+    kw = dict(n_sample=64, vis_near=0.05, vis_far=1.5)
+    full_v, _ = compute_transmittance(cfg, params, scene, pts, dirs,
+                                      baked=baked, **kw)
+    win_v, _ = compute_transmittance(cfg, params, scene, pts, dirs,
+                                     baked=baked, coarse=coarse, window=32,
+                                     window_back=8, prepass_n=10, **kw)
+    np.testing.assert_allclose(np.asarray(win_v), np.asarray(full_v),
+                               atol=5e-3)
+    # the slab must actually occlude (guards against a vacuous pass)
+    assert float(full_v[0]) < 0.6, float(full_v[0])
