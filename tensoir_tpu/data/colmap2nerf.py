@@ -64,6 +64,18 @@ def _qvec2rotmat(q):
     ])
 
 
+def _rotmat_between(a, b):
+    """Rotation matrix taking unit vector a to unit vector b (Rodrigues)."""
+    v = np.cross(a, b)
+    c = float(np.dot(a, b))
+    if np.linalg.norm(v) < 1e-12:
+        return np.eye(3) if c > 0 else -np.eye(3)
+    k = np.array([[0, -v[2], v[1]],
+                  [v[2], 0, -v[0]],
+                  [-v[1], v[0], 0]])
+    return np.eye(3) + k + k @ k * (1.0 / (1.0 + c))
+
+
 def _closest_point_2_lines(oa, da, ob, db):
     """Point closest to two rays (used to find the scene center,
     reference colmap2nerf.py closest_point_2_lines)."""
@@ -137,6 +149,43 @@ def colmap_text_to_transforms(text_dir: str, images_dir: str, out_path: str,
                     "transform_matrix": c2w.tolist(),
                     "light_idx": 0,
                 }
+
+    # --- normalize the scene frame (reference colmap2nerf.py:268-301):
+    # rotate so the average camera-up becomes +z, recenter on the point
+    # the cameras look at, and rescale so cameras sit at ~4 units — this
+    # is what puts a raw COLMAP reconstruction inside the trainer's
+    # default bbox/near-far conventions
+    mats = {k: np.array(fr["transform_matrix"]) for k, fr in frames.items()}
+    if mats:
+        up_n = up / (np.linalg.norm(up) + 1e-12)
+        R_up = _rotmat_between(up_n, np.array([0.0, 0.0, 1.0]))
+        T = np.eye(4)
+        T[:3, :3] = R_up
+        mats = {k: T @ m for k, m in mats.items()}
+
+        # central point: weighted closest point of all view-ray pairs
+        totw = 0.0
+        totp = np.zeros(3)
+        ms = list(mats.values())
+        for i, ma in enumerate(ms):
+            for mb in ms[i + 1:]:
+                pt, wgt = _closest_point_2_lines(
+                    ma[:3, 3], ma[:3, 2], mb[:3, 3], mb[:3, 2])
+                if wgt > 0.01:  # reference's pair weight threshold
+                    totp += pt * wgt
+                    totw += wgt
+        if totw > 0:
+            center = totp / totw
+            for m in mats.values():
+                m[:3, 3] -= center
+
+        avglen = float(np.mean([np.linalg.norm(m[:3, 3])
+                                for m in mats.values()]))
+        if avglen > 1e-9:
+            for m in mats.values():
+                m[:3, 3] *= 4.0 / avglen
+        for k, m in mats.items():
+            frames[k]["transform_matrix"] = m.tolist()
 
     out = {
         "camera_angle_x": angle_x,

@@ -19,16 +19,21 @@ def read_hdr(path: str) -> np.ndarray:
         return _read_hdr_fallback(path)
     pos = 0
     width = height = None
+    flip_y = False
     while True:
         eol = data.index(b"\n", pos)
         line = data[pos:eol]
         pos = eol + 1
-        if line.startswith(b"-Y"):
+        if line.startswith(b"-Y") or line.startswith(b"+Y"):
+            # '-Y H +X W' is the standard top-down layout; '+Y' stores
+            # scanlines bottom-up (flip after decode). Other orientations
+            # (X-major) are exotic -> imageio fallback below.
             parts = line.split()
             height, width = int(parts[1]), int(parts[3])
+            flip_y = line.startswith(b"+Y")
             break
-        if not line and data[pos:pos + 2] in (b"-Y", b"+Y"):
-            continue
+        if line.startswith(b"-X") or line.startswith(b"+X"):
+            return _read_hdr_fallback(path)
 
     rgbe = np.zeros((height, width, 4), np.uint8)
     buf = np.frombuffer(data, np.uint8, offset=pos)
@@ -56,15 +61,17 @@ def read_hdr(path: str) -> np.ndarray:
                     rgbe[y, x:x + count, c] = buf[bpos:bpos + count]
                     bpos += count
                     x += count
+    if flip_y:
+        rgbe = rgbe[::-1]
     return rgbe_to_float(rgbe)
 
 
 def rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
     exp = rgbe[..., 3].astype(np.int32)
+    # scale is already 0 where exp == 0 (the RGBE zero encoding)
     scale = np.where(exp == 0, 0.0,
                      np.ldexp(1.0, exp - 136)).astype(np.float32)
-    return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None] * \
-        np.where(exp[..., None] == 0, 0.0, 1.0)
+    return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None]
 
 
 def write_hdr(path: str, img: np.ndarray):
@@ -76,10 +83,12 @@ def write_hdr(path: str, img: np.ndarray):
     mant = np.zeros_like(img)
     nz = maxc > 1e-32
     f, e = np.frexp(maxc[nz])
-    mant[nz] = img[nz] / maxc[nz][..., None] * f[..., None] * 255.0
+    # float2rgbe spec: mantissa = v / 2^e * 256 (256, not 255 — 255 darkens
+    # every texel by ~0.4% and breaks read_hdr round-trip symmetry)
+    mant[nz] = img[nz] / maxc[nz][..., None] * f[..., None] * 256.0
     exp[nz] = e
     rgbe = np.zeros((h, w, 4), np.uint8)
-    rgbe[..., :3] = np.clip(mant + 0.5, 0, 255).astype(np.uint8)
+    rgbe[..., :3] = np.clip(mant, 0, 255).astype(np.uint8)
     rgbe[..., 3] = np.clip(exp + 128, 0, 255).astype(np.uint8)
     with open(path, "wb") as fh:
         fh.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")

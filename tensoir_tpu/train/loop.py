@@ -54,6 +54,12 @@ class SimpleSampler:
     """Random-permutation batcher (train_tensoIR.py:36-48)."""
 
     def __init__(self, total: int, batch: int, seed: int = 0):
+        if total < batch:
+            raise ValueError(
+                f"ray pool ({total}) smaller than the per-host batch "
+                f"({batch}) — a short batch would change the jitted step's "
+                f"shape (or crash shard_batch on multi-host); shrink "
+                f"batch_size or loosen the ray filter")
         self.total = total
         self.batch = batch
         self.curr = total
@@ -217,8 +223,11 @@ def reconstruction(
         tv_app = float(resume_state["tv_app"])
         voxel_list = list(resume_state["voxel_list"])
         cur_lr_scale = float(resume_state["lr_scale"])
-        if len(update_am_list) > 1 and start_it >= update_am_list[1]:
+        if (not cfg.ndc_ray and len(update_am_list) > 1
+                and start_it >= update_am_list[1]):
             # rays were refiltered against the shrunk bbox before the save
+            # (NDC runs never refilter — train_tensoIR.py:400 gates on
+            # `not args.ndc_ray`, and so does the in-loop refilter below)
             keep = LC.filter_rays_bbox(all_rays, np.asarray(scene["aabb"]))
             rays_f, rgbs_f, lidx_f = (all_rays[keep], all_rgbs[keep],
                                       all_lidx[keep])
@@ -291,9 +300,15 @@ def reconstruction(
     else:
         logger = None
 
-    def make_meter() -> RayThroughputMeter:
-        vis = (cfg.relight_ray_cap * cfg.envmap_h * cfg.envmap_w
-               if relight else 0)
+    def make_meter(n_masked: int = None) -> RayThroughputMeter:
+        # honest visibility-ray counting (the bench.py convention):
+        # min(measured acc-mask count, cap) x dirs. Until a count is
+        # observed, credit 0 visibility rays rather than the full cap.
+        if relight and n_masked is not None:
+            vis = (min(n_masked, cfg.relight_ray_cap)
+                   * cfg.envmap_h * cfg.envmap_w)
+        else:
+            vis = 0
         meter = RayThroughputMeter(primary_per_step=cfg.batch_size,
                                    visibility_per_step=vis)
         meter.start()
@@ -332,7 +347,11 @@ def reconstruction(
             m["elapsed_s"] = time.time() - t_start
             # float() above syncs device->host, so the meter window is real
             m["rays_per_s"] = meter.report()["rays_per_s"]
-            meter.start()
+            # restart the window with the MEASURED acc-mask count so the
+            # next report credits min(measured, cap) x dirs — the honest
+            # counting convention (bench.py)
+            meter = make_meter(int(m["n_acc_masked"])
+                               if "n_acc_masked" in m else None)
             history.append(m)
             if logger:
                 logger.log(it, m)
@@ -342,8 +361,10 @@ def reconstruction(
         # ---- phase schedule ----
         if it in update_am_list:
             reso_mask = tuple(min(r, 256) for r in reso_cur)
-            scene_h = {k: np.asarray(v) for k, v in scene.items()}
-            scene_h = {k: jnp.asarray(v) for k, v in scene_h.items()}
+            # np hop is load-bearing: it unshards the (possibly
+            # mesh-committed) arrays to host-local values first
+            scene_h = {k: jnp.asarray(np.asarray(v))
+                       for k, v in scene.items()}
             params_h = jax.tree.map(jnp.asarray, params)
             new_scene, new_aabb = LC.update_alpha_mask(
                 fcfg, params_h, scene_h, reso_mask)
@@ -400,7 +421,17 @@ def reconstruction(
             # is_main: multi-host artifact gating — without it every
             # process would redundantly render the eval and concurrently
             # write the same files (garbling metrics_record.txt)
-            eval_fn(fcfg, params, scene, it, n_samples, logger=logger)
+            if n_proc > 1:
+                # replicated global-mesh arrays are not fully addressable
+                # from one process — hand eval host-local copies (same np
+                # hop the checkpoint path uses)
+                eval_fn(fcfg, jax.tree.map(lambda x: jnp.asarray(
+                            np.asarray(x)), params),
+                        {k: jnp.asarray(np.asarray(v))
+                         for k, v in scene.items()},
+                        it, n_samples, logger=logger)
+            else:
+                eval_fn(fcfg, params, scene, it, n_samples, logger=logger)
             meter.start()   # exclude eval time from the throughput window
 
         if ckpt_requested and cfg.save_iters > 0 and it > 0 \

@@ -189,6 +189,14 @@ def make_train_step(cfg: F.FieldConfig, optimizer, st: StepStatic,
         if mesh is not None:
             grads = jax.lax.pmean(grads, "data")
             metrics = jax.lax.pmean(metrics, "data")
+            # count-like metrics are per-shard SUMS — psum, not pmean
+            # (pmean would report global_count / n_devices; the honest
+            # visibility-ray formula min(n_acc_masked, cap) needs the
+            # global count)
+            if "n_acc_masked" in metrics:
+                # psum(1) folds to the static axis size
+                metrics["n_acc_masked"] = (
+                    metrics["n_acc_masked"] * jax.lax.psum(1, "data"))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, metrics

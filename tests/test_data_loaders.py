@@ -244,9 +244,37 @@ def test_colmap_text_to_transforms(tmp_path):
     assert abs(data["camera_angle_x"] - 2 * math.atan(800 / 1400)) < 1e-9
     assert abs(data["k1"] - 0.01) < 1e-12
     assert len(data["frames"]) == 2
-    for fr in data["frames"].values():
-        m = np.array(fr["transform_matrix"])
-        # c2w rotation stays orthonormal through the convention flips
+    mats = [np.array(fr["transform_matrix"])
+            for fr in data["frames"].values()]
+    for m in mats:
+        # c2w rotation stays orthonormal through the convention flips and
+        # the up-reorientation
         np.testing.assert_allclose(m[:3, :3] @ m[:3, :3].T, np.eye(3),
                                    atol=1e-9)
+    # scene normalization (reference colmap2nerf.py:268-301): cameras are
+    # rescaled to an average distance of 4 from the recentered origin
+    avglen = np.mean([np.linalg.norm(m[:3, 3]) for m in mats])
+    np.testing.assert_allclose(avglen, 4.0, rtol=1e-6)
+    for fr in data["frames"].values():
         assert fr["light_idx"] == 0
+
+
+def test_hdr_plus_y_orientation(tmp_path):
+    """'+Y H +X W' (bottom-up) Radiance files decode flipped to top-down —
+    the cv2 path this replaces handles both orientations."""
+    from tensoir_tpu.data.hdr import read_hdr, write_hdr
+    rng = np.random.default_rng(1)
+    img = (rng.random((6, 8, 3)) * 4).astype(np.float32)
+    p_std = os.path.join(tmp_path, "std.hdr")
+    write_hdr(p_std, img)
+    std = read_hdr(p_std)
+    # rewrite the same pixel payload under a +Y header: rows are stored
+    # bottom-up, so decoding must flip back to the top-down image
+    raw = open(p_std, "rb").read()
+    head, _, body = raw.partition(b"-Y 6 +X 8\n")
+    flipped_rows = np.frombuffer(body, np.uint8).reshape(6, 8, 4)[::-1]
+    p_up = os.path.join(tmp_path, "up.hdr")
+    with open(p_up, "wb") as fh:
+        fh.write(head + b"+Y 6 +X 8\n" + flipped_rows.tobytes())
+    up = read_hdr(p_up)
+    np.testing.assert_array_equal(up, std)
