@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()   # honor TENSOIR_PLATFORM=cpu (CLAUDE.md)
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=5000)
     parser.add_argument("--out", type=str, default="./log/synthetic_demo")

@@ -15,7 +15,7 @@ Phases (scalar-synced):
   scatter_sol         raw .at[].add speed-of-light: 2.36M x 64-wide rows
                       into a (39601, 64) table (= the density-plane VJP shape)
   scatter_sol_sorted  same rows pre-sorted + indices_are_sorted=True
-  scatter_sol_32      scatter via 8 sequential 295k-row chunks (pipelining?)
+  scatter_sol_w8      scatter via 8 sequential 295k-row chunks (pipelining?)
 
 Run detached on the TPU (CLAUDE.md: never under timeout):
   nohup python scripts/ablate_radiance.py > /tmp/ablate_rad.log 2>&1 &
@@ -117,10 +117,6 @@ def main():
     grad_all = jax.jit(lambda p, i: jax.grad(loss_of)(p, i))
     timeit("rad_grad_all", lambda i: grad_all(params, jnp.asarray(i)),
            lambda g: float(g["density_plane_0"].ravel()[0]))
-
-    def stop(p, names):
-        return {k: (jax.lax.stop_gradient(v) if any(n in k for n in names)
-                    else v) for k, v in p.items()}
 
     g_noplanes = jax.jit(lambda p, i: jax.grad(
         lambda q, j: loss_of({**q, **{k: jax.lax.stop_gradient(q[k])

@@ -160,12 +160,16 @@ def main():
     idx = jax.random.randint(jax.random.PRNGKey(7), (n_idx,), 0,
                              flat.shape[0], dtype=jnp.int32)
 
-    def raw_gather(i):
-        shifted = jnp.minimum(idx + i, flat.shape[0] - 1)
-        return jnp.take(flat, shifted, axis=0).astype(jnp.float32).sum()
+    # pass the big arrays as ARGUMENTS: closure capture lowers them as HLO
+    # constants, and a 200MB constant blows the axon remote-compile request
+    # limit (HTTP 413 — see ablate_radiance.py)
+    def raw_gather(table, ids, i):
+        shifted = jnp.minimum(ids + i, table.shape[0] - 1)
+        return jnp.take(table, shifted, axis=0).astype(jnp.float32).sum()
 
     g = jax.jit(raw_gather)
-    ms = timeit("gather_sol", lambda i: g(jnp.int32(0)), lambda s: float(s))
+    ms = timeit("gather_sol", lambda i: g(flat, idx, jnp.int32(i)),
+                lambda s: float(s))
     print(json.dumps({"phase": "gather_rows_per_s",
                       "value": round(n_idx / (ms / 1e3))}), flush=True)
     print("done", flush=True)

@@ -1,10 +1,11 @@
-"""A/B the interval-culled secondary march (`second_window`) and the
-`relight_ray_cap` at bench.py's canonical config (scalar-synced).
+"""A/B harness for the canonical bench step (scalar-synced).
 
-Produces the numbers for two round-2 verdict items:
-- whether bench.py should adopt second_window (step-ms per window value)
-- the cap-1024-vs-4096 throughput half of the relight_ray_cap A/B
-  (reference relights every acc-masked ray, renderer.py:86-107).
+The run list evolves with the round's open question — earlier revisions
+swept second_window and relight_ray_cap (those results are recorded in
+BASELINE.md's round-2 A/B tables); the current list A/Bs the primary
+sample-selection kernel, the coarse-occupancy dilate/prepass pairing, and
+the visibility-bake resolution against the canonical config. Edit run()
+calls at the bottom to measure a new variant.
 
 Run detached on the TPU (CLAUDE.md: never under timeout):
   nohup python scripts/ablate_window_cap.py > /tmp/ablate_wc.log 2>&1 &

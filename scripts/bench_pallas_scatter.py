@@ -125,8 +125,9 @@ def main():
 
     scatter_add = make_scatter_add(R, C, CHUNK, interpret)
 
-    # correctness first (always)
-    small_n = 8192
+    # correctness first (always) — probe size must be a nonzero multiple
+    # of CHUNK or the pallas grid is (0,) and the kernel never runs
+    small_n = CHUNK
     out = scatter_add(idx[:small_n], vals[:small_n])
     ref = jnp.zeros((R, C)).at[idx[:small_n]].add(vals[:small_n])
     err = float(jnp.max(jnp.abs(out - ref)))

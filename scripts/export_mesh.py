@@ -30,7 +30,9 @@ def main(argv=None):
 
     fcfg, params, scene, _ = load_checkpoint(args.ckpt)
     alpha = dense_alpha(fcfg, params, scene, grid_size_of(params))
-    out = args.ckpt.replace(".npz", ".ply")
+    import os
+    root, ext = os.path.splitext(args.ckpt)
+    out = (root if ext == ".npz" else args.ckpt) + ".ply"
     verts, faces = export_mesh_from_alpha(alpha, np.asarray(scene["aabb"]),
                                           out, level=args.level)
     print(f"mesh written to {out}: {len(verts)} verts, {len(faces)} faces")

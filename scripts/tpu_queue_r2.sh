@@ -4,7 +4,7 @@
 #   PYTHONPATH=/root/repo:$PYTHONPATH nohup bash scripts/tpu_queue_r2.sh > /tmp/tpu_queue.log 2>&1 &
 set -u
 cd /root/repo
-export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 
 echo "=== [1/5] flagship demo A: round-1 config post-sRGB-fix (cap512, bake128)"
 python examples/train_synthetic_demo.py --iters 5000 --bake_reso 128 \

@@ -3,7 +3,7 @@
 # Launch: PYTHONPATH=/root/repo:$PYTHONPATH nohup bash scripts/tpu_queue_r2b.sh > /tmp/tpu_queue_b.log 2>&1 &
 set -u
 cd /root/repo
-export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 
 echo "=== [1/2] demo C: tighter march (w40=28+12, prepass 14) quality gate"
 python examples/train_synthetic_demo.py --iters 5000 --bake_reso 128 \

@@ -38,6 +38,9 @@ def parse_cli(argv=None):
         key = tok[2:]
         if key not in fields:
             raise SystemExit(f"unknown config key: --{key}")
+        if i + 1 >= len(rest):
+            raise SystemExit(f"--{key} needs a value (config keys are "
+                             f"key/value pairs, e.g. --{key} 1)")
         val = rest[i + 1]
         from tensoir_tpu.config import _parse_value
         overrides[key] = _coerce(key, _parse_value(val), fields)
@@ -85,7 +88,9 @@ def main(argv=None):
         fcfg, params, scene, extra = load_checkpoint(cfg.ckpt)
         grid = grid_size_of(params)
         alpha = dense_alpha(fcfg, params, scene, grid)
-        out = cfg.ckpt.replace(".npz", ".ply")
+        # suffix-safe: never let the mesh path collide with the ckpt
+        root, ext = os.path.splitext(cfg.ckpt)
+        out = (root if ext == ".npz" else cfg.ckpt) + ".ply"
         export_mesh_from_alpha(alpha, np.asarray(scene["aabb"]), out,
                                level=0.005)
         print(f"mesh written to {out}")
