@@ -97,18 +97,15 @@ def test_packed_matches_plain_baked():
 
     rng = np.random.default_rng(3)
     coords = jnp.asarray(rng.uniform(-0.9, 0.9, (300, 3)).astype(np.float32))
-    plain = np.asarray(
-        jax.vmap(lambda c: baked[0, 0, 0] * 0)(coords[:, 0])) * 0  # noqa
     from tensoir_tpu.ops.interp import trilerp_volume
     plain = np.asarray(trilerp_volume(baked, coords))
     got = np.asarray(density_feature_packed(packed, coords))
 
     # where the mask keeps all 8 corners, packed == plain trilinear
+    # (reuse `packed` — it is the same full-precision bake)
     mask_vals = np.asarray(trilerp_volume(
-        jnp.asarray((np.asarray(
-            bake_packed_sigma_grid(cfg, params, scene,
-                                   dtype=jnp.float32)) > -1e3).all(-1)
-            .astype(np.float32)), coords * (1 - 1e-6)))
+        jnp.asarray((np.asarray(packed) > -1e3).all(-1)
+                    .astype(np.float32)), coords * (1 - 1e-6)))
     keep = mask_vals > 0.999
     np.testing.assert_allclose(got[keep], plain[keep], atol=1e-3, rtol=1e-3)
 

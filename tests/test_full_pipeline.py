@@ -84,7 +84,9 @@ def test_reconstruction_loop_with_phases(tmp_path):
     result = reconstruction(cfg, ds, log_dir=log_dir)
     assert len(result.metrics_history) > 0
     assert np.isfinite(result.metrics_history[-1]["total_loss"])
-    # shrink happened: grid changed from initial 20-ish
+    # lifecycle fired: the final grid differs from the initial 20^3
+    # (upsample toward N_voxel_final and/or aabb shrink both change it)
+    assert tuple(grid_size_of(result.params)) != (20, 20, 20)
     assert os.path.exists(os.path.join(log_dir, "ckpt_final.npz"))
 
     # checkpoint roundtrip and eval

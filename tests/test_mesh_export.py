@@ -36,8 +36,21 @@ def test_numpy_fallback_matches_native_counts():
     origin = np.array([-1, -1, -1], np.float32)
     spacing = np.full(3, 2 / 12, np.float32)
     v_np, f_np = _extract_numpy(grid, 0.0, origin, spacing)
-    bbox = np.array([[-1, -1, -1], [1 - 2 / 12, 1 - 2 / 12, 1 - 2 / 12]])
     assert len(v_np) > 0 and len(f_np) > 0
+    # the fallback must agree with the native marching-tetrahedra
+    # extractor on the same iso-surface (both tessellate the same tets)
+    try:
+        from tensoir_tpu.utils.mesh_export import _extract_native
+        v_na, f_na = _extract_native(grid, 0.0, origin, spacing)
+    except Exception:
+        import pytest
+        pytest.skip("native extractor unavailable")
+    assert len(v_na) == len(v_np) and len(f_na) == len(f_np)
+    # same surface geometry: identical vertex sets (order may differ)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(v_np).round(5).view("f4").reshape(-1, 3), axis=0),
+        np.sort(np.asarray(v_na).round(5).reshape(-1, 3), axis=0),
+        atol=1e-4)
 
 
 def test_ply_roundtrip(tmp_path):

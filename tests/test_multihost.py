@@ -51,11 +51,19 @@ def _run_layout(tmp_path, num_procs: int, devices_per_proc: int,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     results = []
-    for p, out in zip(procs, outs):
-        stdout, _ = p.communicate(timeout=timeout)
-        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
-        with open(out) as f:
-            results.append(json.load(f))
+    try:
+        for p, out in zip(procs, outs):
+            stdout, _ = p.communicate(timeout=timeout)
+            assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
+            with open(out) as f:
+                results.append(json.load(f))
+    finally:
+        # a failed/hung worker must not orphan its peers: they block in
+        # jax.distributed collectives forever and leak across test runs
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     return results
 
 

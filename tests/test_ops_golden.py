@@ -5,7 +5,7 @@ Each test re-implements the reference math with torch (CPU) exactly as in
 """
 import numpy as np
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,18 @@ from tensoir_tpu.ops import (
 from tensoir_tpu.ops.rays import safe_l2_normalize, aabb_ray_tmin, sample_ray_equally
 
 RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reseed_rng(request):
+    # per-test deterministic reseed: each test's random data is
+    # reproducible in isolation and independent of which tests ran before
+    # (a shared sequentially-consumed RNG made single-test repro
+    # impossible). crc32 of the test name: stable across processes.
+    import zlib
+    global RNG
+    RNG = np.random.default_rng(zlib.crc32(request.node.name.encode()))
+    yield
 
 
 def test_bilerp_plane_matches_grid_sample():

@@ -140,6 +140,11 @@ def test_relight_sharded_step_runs():
     b = shard_batch(mesh, batch)
     p2, s2, m = step(p, s, sc, b, jax.random.PRNGKey(0), jnp.asarray(0))
     assert np.isfinite(float(m["total_loss"]))
-    # replicated updates are identical across devices
+    # replicated updates are identical across devices — check it for real:
+    # every per-device shard of the replicated param must be bit-equal
+    # (a missing pmean on any loss term would desynchronize replicas)
     arr = p2["basis_mat"]
     assert np.isfinite(np.asarray(arr)).all()
+    shards = [np.asarray(sh.data) for sh in arr.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(sh, shards[0])

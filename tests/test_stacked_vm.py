@@ -62,7 +62,7 @@ def ref_tensorvm():
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference not mounted")
     torch = pytest.importorskip("torch")
-    from test_reference_parity import _install_stubs
+    from tests.test_reference_parity import _install_stubs
     _install_stubs()
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
