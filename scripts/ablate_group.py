@@ -1,0 +1,102 @@
+"""A/B the grouped secondary march + baked app feature at the bench config.
+
+Times the full train step (fwd+bwd+adam) for each variant, scalar-synced.
+Run detached on the TPU (CLAUDE.md: never under timeout):
+  nohup python scripts/ablate_group.py > /tmp/ablate_group.log 2>&1 &
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+    from tensoir_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
+    from tensoir_tpu.models.field import FieldConfig, init_field_params
+    from tensoir_tpu.models.lifecycle import update_alpha_mask
+    from tensoir_tpu.train.optim import make_optimizer
+    from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
+    from tensoir_tpu.utils.bench_scene import bench_rays, seed_solid_blob
+
+    platform = jax.devices()[0].platform
+    B, GRID, N_SAMPLES, RELIGHT_CAP = 4096, 200, 700, 4096
+    ENV_H, ENV_W, SECOND_N, TILE = 16, 32, 96, 32768
+    MASK_RESO = 128
+    n_iters = 8
+    if platform == "cpu":
+        B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 32
+        ENV_H, ENV_W, SECOND_N, TILE = 4, 8, 16, 1024
+        MASK_RESO = 24
+        n_iters = 2
+
+    cfg = FieldConfig(density_n_comp=(16, 16, 16), app_n_comp=(48, 48, 48),
+                      app_dim=27, shading_mode="MLP_Fea",
+                      normals_kind="derived_plus_predicted", light_kind="sg",
+                      num_sgs=128, envmap_h=ENV_H, envmap_w=ENV_W,
+                      feature_c=128, step_ratio=0.5)
+    aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    params, scene = init_field_params(
+        jax.random.PRNGKey(0), cfg, (GRID, GRID, GRID), aabb)
+    params = seed_solid_blob(params)
+    scene, _ = update_alpha_mask(cfg, params, scene, (MASK_RESO,) * 3)
+
+    optimizer = make_optimizer(params, 0.02, 1e-3, 0.999971)
+    opt_state = optimizer.init(params)
+    w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
+                    lr_factor=0.999971, n_iters=80000, relight_start=10000)
+    batch = {"rays": jnp.asarray(bench_rays(B)),
+             "rgbs": jnp.full((B, 3), 0.5, jnp.float32),
+             "light_idx": jnp.zeros((B,), jnp.int32)}
+    key = jax.random.PRNGKey(1)
+
+    base = dict(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
+                app_cap=32, relight_ray_cap=RELIGHT_CAP,
+                march_cap=192, march_select="scatter",
+                second_march_cap=32,
+                secondary_use_baked=True, secondary_bake_reso=128,
+                second_window=48 if platform != "cpu" else 16,
+                second_window_back=16 if platform != "cpu" else 4,
+                second_prepass_n=12, coarse_dilate=3,
+                secondary_compact_frac=0.5625,
+                second_n_sample=SECOND_N, secondary_tile=TILE)
+
+    variants = [
+        ("canonical", {}),
+        ("g2", {"second_march_group": 2}),
+        ("g2_gb96", {"second_march_group": 2, "group_bake_reso": 96}),
+        ("g4_gb64", {"second_march_group": 4, "group_bake_reso": 64}),
+        ("ab64", {"app_bake_reso": 64}),
+        ("ab96", {"app_bake_reso": 96}),
+        ("g2_ab64", {"second_march_group": 2, "app_bake_reso": 64}),
+        ("g4_gb64_ab64", {"second_march_group": 4, "group_bake_reso": 64,
+                          "app_bake_reso": 64}),
+    ]
+    if platform == "cpu":
+        variants = variants[:2]
+
+    for name, over in variants:
+        st = StepStatic(**{**base, **over})
+        step_fn = make_train_step(cfg, optimizer, st, w, donate=False)
+        m = step_fn(params, opt_state, scene, batch, key, jnp.asarray(0))[2]
+        float(m["total_loss"])  # sync after compile+warmup
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            m = step_fn(params, opt_state, scene, batch,
+                        jax.random.fold_in(key, i + 1), jnp.asarray(i + 1))[2]
+        loss = float(m["total_loss"])  # host sync
+        ms = (time.perf_counter() - t0) / n_iters * 1e3
+        print(json.dumps({"variant": name, "ms": round(ms, 1),
+                          "loss": round(loss, 6)}), flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

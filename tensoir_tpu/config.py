@@ -177,6 +177,17 @@ class TensoIRConfig:
     # reference likewise computes visibility only for unmasked pairs
     # (relight_utils.py:439-450).
     secondary_compact_frac: float = 0.0
+    # Grouped fine march: one 27-corner block row gather per this many
+    # consecutive window samples (0 = off; 2/4). Requires the grouped-march
+    # contract (group-1)*fine_step <= bake cell — checked at phase build,
+    # auto-disabled (with a log line) when the aabb/bake violate it.
+    second_march_group: int = 0
+    # Bake resolution for the grouped-march 27-pack (0 = secondary_bake_reso).
+    group_bake_reso: int = 0
+    # Baked secondary appearance feature (per-light radiance-feature grids,
+    # one row gather per app sample instead of three packed plane gathers);
+    # 0 = exact VM query.
+    app_bake_reso: int = 0
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

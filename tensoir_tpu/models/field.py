@@ -468,6 +468,21 @@ def bake_packed_sigma_grid(cfg: FieldConfig, params: Dict, scene: Dict,
     alpha-mask culling (relight_utils.py:803-808) up to the grid-node
     discretization of the already-dilated mask.
     """
+    baked = _bake_masked_dense(cfg, params, scene, max_reso)
+    Z, Y, X = baked.shape
+    corners = [
+        baked[dz:Z - 1 + dz, dy:Y - 1 + dy, dx:X - 1 + dx]
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    return jnp.stack(corners, axis=-1).astype(dtype)
+
+
+def _bake_masked_dense(cfg: FieldConfig, params: Dict, scene: Dict,
+                       max_reso: int = 0) -> jax.Array:
+    """Dense sigma-feature grid [Z, Y, X] with the alpha mask folded in
+    (masked nodes -> -1e4), optionally factor-resampled to <= max_reso.
+    Shared by the 8-corner (single-sample) and 27-corner (paired-sample)
+    packs."""
     if cfg.decomp == "vm_stacked":
         # re-key the sliced density factors under 'vm' names so the
         # resize/bake below is decomp-agnostic (slices are free under jit)
@@ -504,12 +519,212 @@ def bake_packed_sigma_grid(cfg: FieldConfig, params: Dict, scene: Dict,
     baked = bake_sigma_feature_grid(cfg, params)               # [Z, Y, X]
     Z, Y, X = baked.shape
     mask = _mask_at_grid_nodes(scene, (X, Y, Z))
-    baked = jnp.where(mask > 0, baked, -1e4)
-    corners = [
-        baked[dz:Z - 1 + dz, dy:Y - 1 + dy, dx:X - 1 + dx]
-        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
-    ]
+    return jnp.where(mask > 0, baked, -1e4)
+
+
+def bake_app_feature_grid(cfg: FieldConfig, params: Dict, scene: Dict,
+                          dtype=jnp.bfloat16,
+                          max_reso: int = 0) -> jax.Array:
+    """Corner-packed per-light RADIANCE-FEATURE grids for the no-grad
+    secondary appearance stage: [L, (Z-1)(Y-1)(X-1), 8*A] (corner order
+    c = 4*dz + 2*dy + dx, matching density_feature_packed).
+
+    The radiance feature basis_mat^T (raw_app(x) * light_line[l]) is
+    position-only per light (app_feature, tensoRF_rotated_lights.py:197-224),
+    so — like the sigma bake — evaluating it on its own grid nodes is a pure
+    MXU einsum with zero gathers, and each secondary appearance sample then
+    costs ONE row gather instead of three packed plane gathers. Off-node the
+    trilinear proxy differs from the exact VM product by sub-voxel cross
+    terms, same approximation class as the baked sigma march. Indirect
+    light is a smooth low-magnitude term, so it tolerates a coarse bake
+    (default app_bake_reso 64).
+
+    Only 'vm'/'vm_stacked' decomps; callers keep the exact path for 'cp'.
+    """
+    assert cfg.decomp in ("vm", "vm_stacked")
+    from tensoir_tpu.ops.interp import (resize_bilinear_align_corners,
+                                        resize_line_align_corners)
+    planes, lines = [], []
+    for i in range(3):
+        pl, ln = app_factors(cfg, params, i)
+        if max_reso > 0:
+            H, W, _ = pl.shape
+            nh, nw = min(H, max_reso), min(W, max_reso)
+            if (nh, nw) != (H, W):
+                pl = resize_bilinear_align_corners(pl, (nh, nw))
+            if ln.shape[0] > max_reso:
+                ln = resize_line_align_corners(ln, max_reso)
+        planes.append(pl)
+        lines.append(ln)
+    lc = params["light_line"]                                # [L, sum(Ra)]
+    basis = params["basis_mat"]                              # [sum(Ra), A]
+    splits = np.cumsum([p.shape[-1] for p in planes])[:-1]
+    lc_blocks = jnp.split(lc, splits, axis=-1)
+    b_blocks = jnp.split(basis, splits, axis=0)
+
+    # grid[l,z,y,x,a] = sum_i <plane_i ⊙ line_i ⊙ lc_i[l], basis_i[:,a]>
+    grid = jnp.einsum("yxr,zr,lr,ra->lzyxa", planes[0], lines[0],
+                      lc_blocks[0], b_blocks[0])
+    grid = grid + jnp.einsum("zxr,yr,lr,ra->lzyxa", planes[1], lines[1],
+                             lc_blocks[1], b_blocks[1])
+    grid = grid + jnp.einsum("zyr,xr,lr,ra->lzyxa", planes[2], lines[2],
+                             lc_blocks[2], b_blocks[2])
+    L, Z, Y, X, A = grid.shape
+    corners = [grid[:, dz:Z - 1 + dz, dy:Y - 1 + dy, dx:X - 1 + dx]
+               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    packed = jnp.stack(corners, axis=-2)           # [L, Zc, Yc, Xc, 8, A]
+    return packed.reshape(L, (Z - 1) * (Y - 1) * (X - 1), 8 * A).astype(dtype)
+
+
+def app_feature_baked(app_baked: jax.Array, grid_cells, coords,
+                      light_idx) -> jax.Array:
+    """Trilinear radiance feature from a corner-packed per-light app bake —
+    ONE row gather per sample.
+
+    app_baked: [L, Zc*Yc*Xc, 8*A] from bake_app_feature_grid.
+    grid_cells: (Zc, Yc, Xc) cell counts of the bake.
+    coords: [..., 3] normalized, light_idx: [...] int32 broadcastable.
+    Returns [..., A] float32.
+    """
+    Zc, Yc, Xc = grid_cells
+    L = app_baked.shape[0]
+    A8 = app_baked.shape[-1]
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    fx = jnp.clip((x + 1.0) * 0.5 * Xc, 0.0, Xc)
+    fy = jnp.clip((y + 1.0) * 0.5 * Yc, 0.0, Yc)
+    fz = jnp.clip((z + 1.0) * 0.5 * Zc, 0.0, Zc)
+    ix = jnp.clip(jnp.floor(fx), 0, Xc - 1)
+    iy = jnp.clip(jnp.floor(fy), 0, Yc - 1)
+    iz = jnp.clip(jnp.floor(fz), 0, Zc - 1)
+    wx, wy, wz = fx - ix, fy - iy, fz - iz
+
+    flat = app_baked.reshape(L * Zc * Yc * Xc, A8)
+    spatial = (iz.astype(jnp.int32) * Yc + iy.astype(jnp.int32)) * Xc \
+        + ix.astype(jnp.int32)
+    idx = jnp.broadcast_to(light_idx, spatial.shape) * (Zc * Yc * Xc) \
+        + spatial
+    rows = jnp.take(flat, idx, axis=0).astype(jnp.float32)
+    rows = rows.reshape(*rows.shape[:-1], 8, A8 // 8)
+
+    w0x, w1x = 1.0 - wx, wx
+    w0y, w1y = 1.0 - wy, wy
+    w0z, w1z = 1.0 - wz, wz
+    weights = jnp.stack([
+        w0z * w0y * w0x, w0z * w0y * w1x, w0z * w1y * w0x, w0z * w1y * w1x,
+        w1z * w0y * w0x, w1z * w0y * w1x, w1z * w1y * w0x, w1z * w1y * w1x,
+    ], axis=-1)
+    return jnp.sum(rows * weights[..., None], axis=-2)
+
+
+def bake_pair_packed_sigma_grid(cfg: FieldConfig, params: Dict, scene: Dict,
+                                dtype=jnp.bfloat16,
+                                max_reso: int = 0) -> jax.Array:
+    """27-corner (2x2x2-cell block) packed bake for the PAIRED secondary
+    march: one gathered row serves two adjacent window samples. Same dense
+    masked grid as bake_packed_sigma_grid, different packing."""
+    return pack_corner27_grid(
+        _bake_masked_dense(cfg, params, scene, max_reso), dtype)
+
+
+def pack_corner27_grid(masked_dense: jax.Array,
+                       dtype=jnp.bfloat16) -> jax.Array:
+    """Block-pack a masked dense sigma grid [Z, Y, X] into 2x2x2-CELL
+    patches: [(Z-2), (Y-2), (X-2), 27] rows holding the 3x3x3 grid nodes of
+    each cell block (channel order c = 9*dz + 3*dy + dx).
+
+    One gathered row serves TWO trilinear samples whose cells differ by at
+    most one per axis — which adjacent secondary-march window samples always
+    do when the fine step <= the bake cell (check_pair_contract). TPU
+    gathers are row-count-bound with width nearly free (CLAUDE.md measured
+    facts), so pairing halves the dominant visibility-march gather count
+    that the single-sample 8-corner pack (bake_packed_sigma_grid) pays.
+    """
+    Z, Y, X = masked_dense.shape
+    corners = [masked_dense[dz:Z - 2 + dz, dy:Y - 2 + dy, dx:X - 2 + dx]
+               for dz in (0, 1, 2) for dy in (0, 1, 2) for dx in (0, 1, 2)]
     return jnp.stack(corners, axis=-1).astype(dtype)
+
+
+def density_feature_group_packed(packed27: jax.Array,
+                                 coords: jax.Array) -> jax.Array:
+    """Trilinear sigma-features for GROUPS of nearby points — one gather per
+    group.
+
+    coords: [..., g, 3] normalized (x, y, z) in [-1, 1] on the original
+    (unpacked) grid, align_corners=True. All g points of a group must lie
+    in cells no more than one apart per axis — adjacent march samples
+    satisfy this whenever (g-1) * fine_step <= bake cell
+    (check_pair_contract); offsets are clamped so a contract violation
+    degrades to clamped-cell interpolation rather than garbage.
+
+    Returns [..., g] features, exactly equal (up to f32 summation order) to
+    density_feature_packed on each point.
+    """
+    Zb, Yb, Xb, _ = packed27.shape
+    Zc, Yc, Xc = Zb + 1, Yb + 1, Xb + 1    # cell counts of the fine grid
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    fx = jnp.clip((x + 1.0) * 0.5 * Xc, 0.0, Xc)
+    fy = jnp.clip((y + 1.0) * 0.5 * Yc, 0.0, Yc)
+    fz = jnp.clip((z + 1.0) * 0.5 * Zc, 0.0, Zc)
+    ix = jnp.clip(jnp.floor(fx), 0, Xc - 1)
+    iy = jnp.clip(jnp.floor(fy), 0, Yc - 1)
+    iz = jnp.clip(jnp.floor(fz), 0, Zc - 1)
+    wx, wy, wz = fx - ix, fy - iy, fz - iz
+
+    # block base = min cell of the pair, clamped so the 2x2x2 block exists
+    bx = jnp.clip(jnp.min(ix, axis=-1), 0, Xc - 2)
+    by = jnp.clip(jnp.min(iy, axis=-1), 0, Yc - 2)
+    bz = jnp.clip(jnp.min(iz, axis=-1), 0, Zc - 2)
+    ox = jnp.clip(ix - bx[..., None], 0.0, 1.0)
+    oy = jnp.clip(iy - by[..., None], 0.0, 1.0)
+    oz = jnp.clip(iz - bz[..., None], 0.0, 1.0)
+
+    def axis_weights(off, w):
+        # per-sample weights on the 3 block nodes of one axis: the sample's
+        # cell starts at node `off`, so node off gets 1-w and off+1 gets w
+        at0 = off == 0.0
+        return jnp.stack([jnp.where(at0, 1.0 - w, 0.0),
+                          jnp.where(at0, w, 1.0 - w),
+                          jnp.where(at0, 0.0, w)], axis=-1)      # [..., 2, 3]
+
+    uz = axis_weights(oz, wz)
+    uy = axis_weights(oy, wy)
+    ux = axis_weights(ox, wx)
+    w27 = jnp.einsum("...si,...sj,...sk->...sijk", uz, uy, ux)
+    w27 = w27.reshape(*w27.shape[:-3], 27)                       # [..., 2, 27]
+
+    flat = packed27.reshape(Zb * Yb * Xb, 27)
+    idx = (bz.astype(jnp.int32) * Yb + by.astype(jnp.int32)) * Xb \
+        + bx.astype(jnp.int32)
+    rows = jnp.take(flat, idx, axis=0).astype(jnp.float32)       # [..., 27]
+    return jnp.sum(rows[..., None, :] * w27, axis=-1)            # [..., 2]
+
+
+def check_pair_contract(aabb_np, packed_shape, *, n_sample: int, group: int,
+                        vis_near: float = 0.05,
+                        vis_far: float = 1.5) -> float:
+    """Validate the grouped-march contract: a group of `group` consecutive
+    window samples spans (group-1) fine steps, which must be <= the smallest
+    bake cell so every sample's cell is at most one from the group minimum
+    and one 2x2x2-cell block row covers them all.
+
+    Host-side (numpy), called at jit-phase build like check_march_contract.
+    Returns the safety ratio (>= 1 means safe). Raises on violation so a
+    shrunk aabb can't silently break the grouping geometry.
+    """
+    aabb_np = np.asarray(aabb_np, np.float64).reshape(2, 3)
+    extents = aabb_np[1] - aabb_np[0]
+    # packed27 leading dims are (Zb, Yb, Xb) = cell counts - 1
+    cells = np.asarray(packed_shape[:3], np.float64)[::-1] + 1.0  # X, Y, Z
+    cell = float(np.min(extents / cells))
+    span = (group - 1) * (vis_far - vis_near) / max(n_sample - 1, 1)
+    if span > cell:
+        raise ValueError(
+            f"grouped-march contract violated: group span {span:.5f} > min "
+            f"bake cell {cell:.5f} (n_sample={n_sample}, group={group}, "
+            f"cells={cells}, extents={extents}) — lower second_march_group "
+            f"or the pair-bake reso")
+    return cell / span
 
 
 def bake_coarse_occupancy(packed: jax.Array, reso: int = 48,

@@ -62,6 +62,9 @@ def render_with_brdf(
     second_prepass_n: int = 18,
     coarse_dilate: int = 2,
     secondary_compact_frac: float = 0.0,
+    second_march_group: int = 0,
+    group_bake_reso: int = 0,
+    app_bake_reso: int = 0,
     use_linear2srgb: bool = True,
 ) -> jax.Array:
     """Physically-based RGB per ray [P, 3] (relight_utils.py:403-483)."""
@@ -89,7 +92,10 @@ def render_with_brdf(
         window=second_window, window_back=second_window_back,
         prepass_n=second_prepass_n,
         coarse_dilate=coarse_dilate,
-        compact_frac=secondary_compact_frac)
+        compact_frac=secondary_compact_frac,
+        march_group=second_march_group,
+        group_bake_reso=group_bake_reso,
+        app_bake_reso=app_bake_reso)
 
     specular = ggx_specular(normal_map, surf2c, surf2l, roughness_map,
                             fresnel_map)                        # [P, L, 3]

@@ -25,7 +25,8 @@ from tensoir_tpu.ops.rays import sample_ray_equally, z_to_dists
 
 def _march_window(cfg, baked, coarse, aabb, o, d, *, n_sample: int,
                   vis_near: float, vis_far: float, window: int,
-                  prepass_n: int, window_back: int = 0):
+                  prepass_n: int, window_back: int = 0, baked27=None,
+                  group: int = 2):
     """Interval-culled secondary march: prepass the coarse occupancy to
     bound the occupied span [t_enter, t_exit], then fine-march only the
     `window` canonical sample positions inside it.
@@ -109,7 +110,19 @@ def _march_window(cfg, baked, coarse, aabb, o, d, *, n_sample: int,
     xyz = o[:, None, :] + d[:, None, :] * z[..., None]
     valid = m & jnp.all((xyz >= aabb[0]) & (xyz <= aabb[1]), axis=-1)
     coords = F.normalize_coord(aabb, xyz)
-    feat = F.density_feature_packed(baked, coords)
+    if baked27 is not None:
+        # grouped march: `group` consecutive window samples span
+        # (group-1) fine steps — under check_pair_contract their cells
+        # differ <= 1 per axis, so ONE 27-corner block row serves the whole
+        # group. The window is built from contiguous runs (front/back are
+        # each group-divisible by construction in the caller), so reshaping
+        # to [.., K/g, g] groups consecutive j's and never straddles the
+        # front/back seam.
+        N, K, _ = coords.shape
+        feat = F.density_feature_group_packed(
+            baked27, coords.reshape(N, K // group, group, 3)).reshape(N, K)
+    else:
+        feat = F.density_feature_packed(baked, coords)
     sigma = jnp.where(valid, F.feature2density(cfg, feat), 0.0)
     dists = jnp.where(jj >= S - 1, 0.0, dt).astype(o.dtype)
     return coords, sigma, dists
@@ -131,6 +144,9 @@ def compute_radiance(
     march_cap: int = 0,
     baked=None,
     coarse=None,
+    baked27=None,
+    march_group: int = 2,
+    app_baked=None,
     window: int = 0,
     window_back: int = 0,
     prepass_n: int = 18,
@@ -155,7 +171,8 @@ def compute_radiance(
         coords, sigma, dists = _march_window(
             cfg, baked, coarse, aabb, surf_pts, light_in_dir,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
-            window=window, prepass_n=prepass_n, window_back=window_back)
+            window=window, prepass_n=prepass_n, window_back=window_back,
+            baked27=baked27, group=march_group)
     else:
         xyz, z_vals, valid = sample_ray_equally(
             surf_pts, light_in_dir, aabb, vis_near, vis_far, n_sample)
@@ -222,7 +239,13 @@ def compute_radiance(
     vdirs = jnp.broadcast_to(sub_dirs[:, None, :], pts_sel.shape)
     lidx = jnp.broadcast_to(sub_lidx[:, None], pts_sel.shape[:2])
 
-    feat = F.app_feature(cfg, params, pts_sel, lidx)
+    if app_baked is not None:
+        # baked radiance feature: ONE row gather per app sample instead of
+        # three packed plane gathers (bake_app_feature_grid)
+        app_grid, app_cells = app_baked
+        feat = F.app_feature_baked(app_grid, app_cells, pts_sel, lidx)
+    else:
+        feat = F.app_feature(cfg, params, pts_sel, lidx)
     rgb = primary.shade_radiance(cfg, params, pts_sel, vdirs, feat)
     sub_indirect = (jnp.sum(w_sel[..., None] * rgb, axis=-2)
                     * pair_valid[:, None])                       # [cap, 3]
@@ -252,6 +275,8 @@ def compute_transmittance(
     march_cap: int = 0,
     baked=None,
     coarse=None,
+    baked27=None,
+    march_group: int = 2,
     window: int = 0,
     window_back: int = 0,
     prepass_n: int = 18,
@@ -262,7 +287,8 @@ def compute_transmittance(
         _, sigma, dists = _march_window(
             cfg, baked, coarse, aabb, surf_pts, light_in_dir,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
-            window=window, prepass_n=prepass_n, window_back=window_back)
+            window=window, prepass_n=prepass_n, window_back=window_back,
+            baked27=baked27, group=march_group)
         _, weight, transmittance = raw2alpha(sigma,
                                              dists * cfg.distance_scale)
         return transmittance[..., 0], 1.0 - jnp.sum(weight, -1)
@@ -311,6 +337,9 @@ def secondary_shading_tiled(
     prepass_n: int = 18,
     coarse_dilate: int = 2,
     compact_frac: float = 0.0,
+    march_group: int = 0,
+    group_bake_reso: int = 0,
+    app_bake_reso: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -332,6 +361,8 @@ def secondary_shading_tiled(
     """
     baked = None
     coarse = None
+    baked27 = None
+    app_baked = None
     if use_baked:
         # computed once; hoisted out of the lax.map body as a loop invariant
         baked = jax.lax.stop_gradient(
@@ -344,6 +375,35 @@ def secondary_shading_tiled(
             # of wider spans (more window truncation risk)
             coarse = jax.lax.stop_gradient(
                 F.bake_coarse_occupancy(baked, dilate=coarse_dilate))
+            if march_group > 1:
+                # grouped fine march: one 27-corner block row per
+                # march_group consecutive window samples (the caller is
+                # responsible for check_pair_contract at phase build).
+                # Front/back windows must each be group-divisible so groups
+                # never straddle the non-contiguous front/back seam.
+                kf = window - window_back
+                if kf % march_group or window_back % march_group:
+                    raise ValueError(
+                        f"second_march_group={march_group} must divide both "
+                        f"the front window ({kf}) and the back window "
+                        f"({window_back})")
+                baked27 = jax.lax.stop_gradient(
+                    F.bake_pair_packed_sigma_grid(
+                        cfg, params, scene,
+                        max_reso=group_bake_reso or bake_reso))
+        if app_bake_reso > 0 and cfg.decomp in ("vm", "vm_stacked"):
+            grid = jax.lax.stop_gradient(F.bake_app_feature_grid(
+                cfg, params, scene, max_reso=app_bake_reso))
+            n_cells = grid.shape[1]
+            side = round(n_cells ** (1.0 / 3.0))
+            # cells are cubic only when every axis hit app_bake_reso; derive
+            # the true cell counts from the factor shapes instead
+            pl0, ln0 = F.app_factors(cfg, params, 0)
+            Yc = min(pl0.shape[0], app_bake_reso) - 1
+            Xc = min(pl0.shape[1], app_bake_reso) - 1
+            Zc = min(ln0.shape[0], app_bake_reso) - 1
+            assert Zc * Yc * Xc == n_cells, (Zc, Yc, Xc, n_cells, side)
+            app_baked = (grid, (Zc, Yc, Xc))
 
     P, L, _ = surf2light.shape
     pts = jnp.broadcast_to(surf_pts[:, None, :], (P, L, 3)).reshape(-1, 3)
@@ -387,6 +447,8 @@ def secondary_shading_tiled(
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
             app_cap=app_cap, app_pair_cap=app_pair_cap,
             march_cap=march_cap, baked=baked, coarse=coarse,
+            baked27=baked27, march_group=max(march_group, 2),
+            app_baked=app_baked,
             window=window, window_back=window_back, prepass_n=prepass_n)
         mf = m.astype(nerv.dtype)
         return nerv * mf, ind * mf[..., None]

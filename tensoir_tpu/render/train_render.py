@@ -42,6 +42,9 @@ def render_train_batch(
     second_prepass_n: int = 18,
     coarse_dilate: int = 2,
     secondary_compact_frac: float = 0.0,
+    second_march_group: int = 0,
+    group_bake_reso: int = 0,
+    app_bake_reso: int = 0,
     ndc_ray: bool = False,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
@@ -104,6 +107,9 @@ def render_train_batch(
         second_prepass_n=second_prepass_n,
         coarse_dilate=coarse_dilate,
         secondary_compact_frac=secondary_compact_frac,
+        second_march_group=second_march_group,
+        group_bake_reso=group_bake_reso,
+        app_bake_reso=app_bake_reso,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)
 

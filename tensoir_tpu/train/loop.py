@@ -239,6 +239,7 @@ def reconstruction(
                                 seed=cfg.seed + start_it + jax.process_index())
 
     def build_step(lr_scale: float):
+        eff_group = 0
         if relight and 0 < cfg.second_window < cfg.second_nSample:
             # conservativeness contract, re-checked against the CURRENT
             # (possibly shrunk) aabb at every jit-phase rebuild — a config
@@ -248,6 +249,25 @@ def reconstruction(
                 np.asarray(scene["aabb"]),
                 prepass_n=cfg.second_prepass_n, dilate=cfg.coarse_dilate,
                 vis_near=cfg.second_near, vis_far=cfg.second_far)
+            if cfg.second_march_group > 1:
+                # grouped-march contract against the live aabb/bake; a
+                # violating (shrunk) aabb downgrades to the single-sample
+                # march instead of corrupting the block geometry
+                gx, gy, gz = F.grid_size_of(params)
+                reso = cfg.group_bake_reso or cfg.secondary_bake_reso
+                nodes = [min(n, reso) if reso > 0 else n
+                         for n in (gz, gy, gx)]
+                blocks = tuple(n - 2 for n in nodes)
+                try:
+                    F.check_pair_contract(
+                        np.asarray(scene["aabb"]), blocks + (27,),
+                        n_sample=cfg.second_nSample,
+                        group=cfg.second_march_group,
+                        vis_near=cfg.second_near, vis_far=cfg.second_far)
+                    eff_group = cfg.second_march_group
+                except ValueError as e:
+                    print(f"[loop] grouped secondary march disabled "
+                          f"for this phase: {e}", flush=True)
         optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
                                    cfg.lr_basis * lr_scale, lr_factor)
         opt_state = optimizer.init(params)
@@ -265,6 +285,9 @@ def reconstruction(
             coarse_dilate=cfg.coarse_dilate,
             march_select=cfg.march_select,
             secondary_compact_frac=cfg.secondary_compact_frac,
+            second_march_group=eff_group,
+            group_bake_reso=cfg.group_bake_reso,
+            app_bake_reso=cfg.app_bake_reso,
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,

@@ -61,6 +61,9 @@ class StepStatic:
     coarse_dilate: int = 2            # coarse-occupancy dilation (cells)
     march_select: str = "scatter"     # primary occupied-sample selection
     secondary_compact_frac: float = 0.0  # hemisphere-pair compaction
+    second_march_group: int = 0       # grouped fine march (0=off, 2/4)
+    group_bake_reso: int = 0          # 27-pack bake reso (0 = bake_reso)
+    app_bake_reso: int = 0            # baked secondary app feature (0=off)
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
     second_n_sample: int = 96
@@ -89,6 +92,9 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         second_prepass_n=st.second_prepass_n,
         coarse_dilate=st.coarse_dilate,
         secondary_compact_frac=st.secondary_compact_frac,
+        second_march_group=st.second_march_group,
+        group_bake_reso=st.group_bake_reso,
+        app_bake_reso=st.app_bake_reso,
         ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,
         second_n_sample=st.second_n_sample, second_near=st.second_near,
