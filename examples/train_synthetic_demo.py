@@ -46,6 +46,16 @@ def main(argv=None):
                         help="hemisphere-pair compaction fraction (0=off)")
     parser.add_argument("--relight_cap", type=int, default=512,
                         help="surface rays fed to the relight branch")
+    parser.add_argument("--app_bake", type=int, default=0,
+                        help="per-light radiance-feature bake resolution for "
+                             "the secondary appearance path (0=exact VM)")
+    parser.add_argument("--march_group", type=int, default=0,
+                        help="grouped secondary march: consecutive window "
+                             "samples served by one 27-corner block row "
+                             "(0/1=off)")
+    parser.add_argument("--group_bake", type=int, default=0,
+                        help="bake resolution for the grouped-march block "
+                             "rows (0=secondary_bake_reso)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.compile_cache import enable as _cc
@@ -97,6 +107,9 @@ def main(argv=None):
         secondary_compact_frac=args.compact,
         secondary_tile=32768,
         secondary_bake_reso=args.bake_reso,
+        app_bake_reso=args.app_bake,
+        second_march_group=args.march_group,
+        group_bake_reso=args.group_bake,
         vis_every=0,
         N_vis=0,
         save_iters=0,

@@ -68,17 +68,22 @@ def main():
                 secondary_compact_frac=0.5625,
                 second_n_sample=SECOND_N, secondary_tile=TILE)
 
-    variants = [
-        ("canonical", {}),
-        ("g2", {"second_march_group": 2}),
-        ("g2_gb96", {"second_march_group": 2, "group_bake_reso": 96}),
-        ("g4_gb64", {"second_march_group": 4, "group_bake_reso": 64}),
-        ("ab64", {"app_bake_reso": 64}),
-        ("ab96", {"app_bake_reso": 96}),
-        ("g2_ab64", {"second_march_group": 2, "app_bake_reso": 64}),
-        ("g4_gb64_ab64", {"second_march_group": 4, "group_bake_reso": 64,
-                          "app_bake_reso": 64}),
-    ]
+    all_variants = {
+        "canonical": {},
+        "g2": {"second_march_group": 2},
+        "g2_gb96": {"second_march_group": 2, "group_bake_reso": 96},
+        "g4_gb64": {"second_march_group": 4, "group_bake_reso": 64},
+        "ab64": {"app_bake_reso": 64},
+        "ab96": {"app_bake_reso": 96},
+        "g2_ab64": {"second_march_group": 2, "app_bake_reso": 64},
+        "g4_gb64_ab64": {"second_march_group": 4, "group_bake_reso": 64,
+                         "app_bake_reso": 64},
+        "g4_gb96_ab96": {"second_march_group": 4, "group_bake_reso": 96,
+                         "app_bake_reso": 96},
+    }
+    import sys
+    names = sys.argv[1:] or list(all_variants)[:8]
+    variants = [(n, all_variants[n]) for n in names]
     if platform == "cpu":
         variants = variants[:2]
 
