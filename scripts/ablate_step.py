@@ -69,6 +69,9 @@ def main():
                     second_window=WINDOW, second_window_back=WINDOW_BACK,
                     second_prepass_n=12, coarse_dilate=3,
                     secondary_compact_frac=COMPACT,
+                    second_march_group=4 if platform != "cpu" else 0,
+                    group_bake_reso=64,
+                    app_bake_reso=64,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)
@@ -129,7 +132,10 @@ def main():
             use_baked=True, bake_reso=st.secondary_bake_reso,
             window=WINDOW, window_back=WINDOW_BACK,
             prepass_n=st.second_prepass_n, coarse_dilate=st.coarse_dilate,
-            compact_frac=COMPACT))
+            compact_frac=COMPACT,
+            march_group=st.second_march_group,
+            group_bake_reso=st.group_bake_reso,
+            app_bake_reso=st.app_bake_reso))
     timeit("secondary", lambda i, f=make_sec(16): f(params),
            lambda vi: float(vi[0].ravel()[0]))
     # app-stage slope: (secondary - secondary_app4) / 12 = ms per app sample

@@ -50,6 +50,43 @@ def write_config_provenance(cfg: TensoIRConfig, log_dir: str) -> str:
     return path
 
 
+def resolve_march_group(cfg: TensoIRConfig, aabb, grid_size) -> int:
+    """Largest legal grouped-march factor for the live aabb, downgrading
+    cfg.second_march_group 4 -> 2 -> 0 as the pair contract tightens (the
+    aabb shrinks during training while the secondary march range is fixed,
+    so a configured group can become illegal mid-run; see
+    field.check_pair_contract). Returns 0 when no group is legal or the
+    front/back windows are not group-divisible."""
+    if cfg.second_march_group <= 1:
+        return 0
+    gx, gy, gz = grid_size
+    reso = cfg.group_bake_reso or cfg.secondary_bake_reso
+    nodes = [min(n, reso) if reso > 0 else n for n in (gz, gy, gx)]
+    blocks = tuple(n - 2 for n in nodes)
+    g = cfg.second_march_group
+    kf = cfg.second_window - cfg.second_window_back
+    last_err = "window not divisible by any legal group"
+    while g > 1:
+        if kf % g or cfg.second_window_back % g:
+            g //= 2
+            continue
+        try:
+            F.check_pair_contract(
+                np.asarray(aabb), blocks + (27,),
+                n_sample=cfg.second_nSample, group=g,
+                vis_near=cfg.second_near, vis_far=cfg.second_far)
+            break
+        except ValueError as e:
+            last_err = e
+            g //= 2
+    eff = g if g > 1 else 0
+    if eff != cfg.second_march_group:
+        print(f"[loop] grouped secondary march downgraded "
+              f"{cfg.second_march_group} -> {eff} for this phase: "
+              f"{last_err}", flush=True)
+    return eff
+
+
 class SimpleSampler:
     """Random-permutation batcher (train_tensoIR.py:36-48)."""
 
@@ -249,25 +286,8 @@ def reconstruction(
                 np.asarray(scene["aabb"]),
                 prepass_n=cfg.second_prepass_n, dilate=cfg.coarse_dilate,
                 vis_near=cfg.second_near, vis_far=cfg.second_far)
-            if cfg.second_march_group > 1:
-                # grouped-march contract against the live aabb/bake; a
-                # violating (shrunk) aabb downgrades to the single-sample
-                # march instead of corrupting the block geometry
-                gx, gy, gz = F.grid_size_of(params)
-                reso = cfg.group_bake_reso or cfg.secondary_bake_reso
-                nodes = [min(n, reso) if reso > 0 else n
-                         for n in (gz, gy, gx)]
-                blocks = tuple(n - 2 for n in nodes)
-                try:
-                    F.check_pair_contract(
-                        np.asarray(scene["aabb"]), blocks + (27,),
-                        n_sample=cfg.second_nSample,
-                        group=cfg.second_march_group,
-                        vis_near=cfg.second_near, vis_far=cfg.second_far)
-                    eff_group = cfg.second_march_group
-                except ValueError as e:
-                    print(f"[loop] grouped secondary march disabled "
-                          f"for this phase: {e}", flush=True)
+            eff_group = resolve_march_group(cfg, scene["aabb"],
+                                            F.grid_size_of(params))
         optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
                                    cfg.lr_basis * lr_scale, lr_factor)
         opt_state = optimizer.init(params)

@@ -210,3 +210,34 @@ def test_secondary_tiled_group_rejects_odd_window():
                                 n_sample=64, vis_near=0.05, vis_far=1.5,
                                 tile=16, window=42, window_back=15,
                                 prepass_n=24, march_group=2)
+
+
+def test_resolve_march_group_downgrade_chain():
+    """The loop downgrades group 4 -> 2 -> 0 against the live aabb instead
+    of dropping the grouped march entirely (real scenes shrink mid-run)."""
+    from tensoir_tpu.config import TensoIRConfig
+    from tensoir_tpu.train.loop import resolve_march_group
+
+    cfg = TensoIRConfig(
+        second_march_group=4, group_bake_reso=64, secondary_bake_reso=128,
+        second_nSample=96, second_window=48, second_window_back=16,
+        second_near=0.05, second_far=1.5)
+    grid = (200, 200, 200)
+    aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    # bench geometry: group 4 fits a 64^3 bake (cell 0.0476 >= 0.0458)
+    assert resolve_march_group(cfg, aabb, grid) == 4
+    # shrunk aabb: group-4 span breaks the cell, group 2 still fits
+    shrunk = np.array([[-0.7] * 3, [0.7] * 3], np.float32)
+    assert resolve_march_group(cfg, shrunk, grid) == 2
+    # tiny aabb: nothing fits
+    tiny = np.array([[-0.2] * 3, [0.2] * 3], np.float32)
+    assert resolve_march_group(cfg, tiny, grid) == 0
+    # window not divisible by 4: falls through to 2 immediately
+    cfg_w = TensoIRConfig(
+        second_march_group=4, group_bake_reso=64, secondary_bake_reso=128,
+        second_nSample=96, second_window=46, second_window_back=16,
+        second_near=0.05, second_far=1.5)
+    assert resolve_march_group(cfg_w, aabb, grid) == 2
+    # group disabled stays disabled
+    cfg0 = TensoIRConfig(second_march_group=0)
+    assert resolve_march_group(cfg0, aabb, grid) == 0
