@@ -168,6 +168,13 @@ class TensoIRConfig:
     # Primary occupied-sample selection: 'scatter' (cumsum+scatter,
     # default — bit-identical to 'topk' and faster on TPU) or 'topk'.
     march_select: str = "scatter"
+    # Grouped primary march (0=off, 2/4): density on the march-selected
+    # samples reads ONE 16-corner block row per group of g depth-adjacent
+    # samples instead of g corner-packed rows — exact, ~g x fewer rows on
+    # the row-count-bound density fwd gather + bwd scatter. Contract
+    # (g-1)*step <= 2 cells per axis — re-checked against the live aabb at
+    # every phase rebuild, auto-downgraded 4 -> 2 -> off with a log line.
+    march_group: int = 0
     # Relighting benchmark: march visibility against the baked+windowed
     # fast path instead of the exact VM march (default off = reference
     # protocol, scripts/relight_importance.py:135-152).

@@ -47,6 +47,7 @@ import numpy as np
 from tensoir_tpu.models import mlps
 from tensoir_tpu.models import lighting
 from tensoir_tpu.ops.interp import (bilerp_plane, bilerp_plane_packed,  # noqa: F401
+                                    bilerp_plane_group_packed,
                                     lerp_line, lerp_line_matmul,
                                     trilerp_volume)
 from tensoir_tpu.ops.rays import safe_l2_normalize
@@ -292,6 +293,30 @@ def density_feature(cfg: FieldConfig, params: Dict, coords):
         # rows than per-corner gathers (see ops/interp.py docstrings)
         lf = lerp_line_matmul(line, coords[..., VEC_MODE[i]])
         pf = bilerp_plane_packed(plane, coords[..., m0], coords[..., m1])
+        total = total + jnp.sum(pf * lf, axis=-1)
+    return total
+
+
+def density_feature_grouped(cfg: FieldConfig, params: Dict, coords_g):
+    """`density_feature` for GROUPS of depth-adjacent samples.
+
+    coords_g: [..., g, 3] normalized, group members within 1.5 grid cells of
+    each other along every axis (consecutive march samples at
+    step_ratio <= 1, g <= 4). Exact — same math as density_feature — but the
+    plane reads collapse to ONE 16-corner block row per group
+    (ops.interp.bilerp_plane_group_packed), cutting the row-count-bound
+    forward gather and backward scatter-add ~g x on the march's dense
+    density evaluation (the reference hot path equivalent:
+    tensorBase_rotated_lights.py:915-931). VM/vm_stacked only.
+    """
+    assert cfg.decomp in ("vm", "vm_stacked"), cfg.decomp
+    total = jnp.zeros(coords_g.shape[:-1], coords_g.dtype)
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        plane, line = density_factors(cfg, params, i)
+        lf = lerp_line_matmul(line, coords_g[..., VEC_MODE[i]])
+        pf = bilerp_plane_group_packed(plane, coords_g[..., m0],
+                                       coords_g[..., m1])
         total = total + jnp.sum(pf * lf, axis=-1)
     return total
 

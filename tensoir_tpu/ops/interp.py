@@ -221,6 +221,65 @@ def bilerp_plane_packed(plane: jax.Array, x: jax.Array, y: jax.Array) -> jax.Arr
             + wy1 * ((1.0 - wx1) * v10 + wx1 * v11))
 
 
+def bilerp_plane_group_packed(plane: jax.Array, x: jax.Array,
+                              y: jax.Array) -> jax.Array:
+    """Bilinear plane interpolation for GROUPS of nearby samples via ONE
+    16-corner block-row gather per group.
+
+    Exact (same math as `bilerp_plane_packed`) whenever every sample in a
+    group lies within a 3x3-cell block — guaranteed for depth-consecutive
+    march samples at step_ratio <= 1 with group size <= 4 (positions span
+    <= (g-1)*step <= 1.5 cells, so per-sample cell indices differ <= 2 per
+    axis). TPU gathers and their VJP scatters are row-COUNT-bound with row
+    width nearly free (CLAUDE.md measurements), so one [16C] block row per
+    group replaces g [4C] rows: ~g x fewer rows on both the forward gather
+    and the backward scatter-add — the grouped-march trick
+    (field.bake_pair_packed_sigma_grid) applied to the LIVE differentiable
+    factors instead of a baked no-grad table.
+
+    Args:
+      plane: [H, W, C] (H, W >= 4).
+      x, y: [..., g] normalized coords in [-1, 1]; the trailing axis is the
+        group dimension (members must be spatially adjacent as above).
+    Returns: [..., g, C].
+
+    Twice differentiable w.r.t. coords and grid (weights are linear in the
+    clipped fractional offsets; block selection uses stop-gradient floors,
+    exactly like the per-sample packed variant).
+    """
+    H, W, C = plane.shape
+    # 16 shifted slices -> [(H-3), (W-3), 16C]; VJP is dense pad+add
+    packed = jnp.concatenate(
+        [plane[dy:H - 3 + dy, dx:W - 3 + dx]
+         for dy in range(4) for dx in range(4)], -1)
+    packed = packed.reshape((H - 3) * (W - 3), 16 * C)
+    ix = _unnormalize(x, W, True)
+    iy = _unnormalize(y, H, True)
+    ix0 = jnp.clip(jnp.floor(ix), 0, W - 2)
+    iy0 = jnp.clip(jnp.floor(iy), 0, H - 2)
+    # block origin: min cell over the group, clipped so corners bx..bx+3 fit
+    bx = jnp.clip(jnp.min(ix0, axis=-1), 0, W - 4)             # [...]
+    by = jnp.clip(jnp.min(iy0, axis=-1), 0, H - 4)
+    rows = jnp.take(packed,
+                    (by * (W - 3) + bx).astype(jnp.int32), axis=0)
+    rows = rows.reshape(*rows.shape[:-1], 4, 4, C)             # [..., dy, dx, C]
+    # per-sample offset within the block (0..2) + bilinear corner weights
+    ox = ix0 - bx[..., None]                                   # [..., g]
+    oy = iy0 - by[..., None]
+    wx1 = jnp.clip(ix - ix0, 0.0, 1.0)
+    wy1 = jnp.clip(iy - iy0, 0.0, 1.0)
+    iota = jnp.arange(4, dtype=plane.dtype)
+    Wx = (jnp.where(iota == ox[..., None], 1.0 - wx1[..., None], 0.0)
+          + jnp.where(iota == ox[..., None] + 1.0, wx1[..., None], 0.0))
+    Wy = (jnp.where(iota == oy[..., None], 1.0 - wy1[..., None], 0.0)
+          + jnp.where(iota == oy[..., None] + 1.0, wy1[..., None], 0.0))
+    # [..., g, 4]x[..., g, 4] -> weights over the 16 block corners; contract
+    # with the gathered block in f32 (HIGHEST: interp weights, CLAUDE.md)
+    return jnp.einsum("...ga,...gb,...abc->...gc", Wy, Wx, rows,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
 def lerp_line_matmul(line: jax.Array, z: jax.Array) -> jax.Array:
     """Linear line interpolation as a dense one-hot matmul (no gather).
 

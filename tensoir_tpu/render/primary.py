@@ -138,6 +138,10 @@ def render_rays(
     march_select: str = "scatter",  # occupied-sample selection:
                                     # 'scatter' (cumsum+scatter, default)
                                     # or 'topk' (sort) — bit-identical
+    march_group: int = 0,  # grouped primary march: select GROUPS of g
+                           # consecutive samples, density via one 16-corner
+                           # block row per group (g x fewer gather/scatter
+                           # rows on the march's density fwd+bwd)
     ndc_ray: bool = False,
     normal_gt: Optional[jax.Array] = None,  # [B, 3] for 'gt_normals'
 ) -> Dict[str, jax.Array]:
@@ -185,7 +189,48 @@ def render_rays(
         occ = F.sample_alpha_mask_nearest(scene, xyz)
         select = (select_occupied_samples_scatter if march_select == "scatter"
                   else select_occupied_samples)
-        midx, ray_valid = select(ray_valid & occ, march_cap)
+        valid_occ = ray_valid & occ
+        if march_group > 1:
+            # group-aligned selection: keep GROUPS of `g` raw-consecutive
+            # samples (any member occupied). A superset of the per-sample
+            # selection — false-positive members are masked to sigma=0 by
+            # the gathered per-sample validity below — so results are
+            # identical while the kept samples stay depth-adjacent, which
+            # is what lets density use one block row per group
+            # (field.density_feature_grouped). Overflow (> cap/g occupied
+            # groups) drops the deepest groups, like the per-sample cap.
+            g = march_group
+            if march_cap % g:
+                raise ValueError(f"march_group={g} must divide "
+                                 f"march_cap={march_cap}")
+            # block-row exactness contract: group members must stay within
+            # a 3x3-cell block, i.e. per-axis span (g-1)*step <= 2 cells.
+            # step = step_ratio * mean(units). This static check assumes
+            # near-isotropic units (true for cubic init grids and after
+            # every N_to_reso upsample); anisotropy after a non-uniform
+            # shrink is the CALLER's contract — the train loop re-checks
+            # against live units at each phase rebuild and downgrades
+            # (loop.resolve_primary_march_group).
+            if (g - 1) * cfg.step_ratio > 2.0:
+                raise ValueError(
+                    f"march_group={g} at step_ratio={cfg.step_ratio} "
+                    f"violates the 16-corner block contract "
+                    f"((g-1)*step_ratio = {(g - 1) * cfg.step_ratio:.2f} "
+                    f"> 2 cells)")
+            n_groups = -(-n_samples // g)
+            vpad = jnp.pad(valid_occ,
+                           ((0, 0), (0, n_groups * g - n_samples)))
+            gvalid = jnp.any(vpad.reshape(B, n_groups, g), axis=2)
+            gidx, gsel = select(gvalid, march_cap // g)
+            midx_raw = (gidx[..., None] * g
+                        + jnp.arange(g, dtype=jnp.int32)
+                        ).reshape(B, march_cap)
+            midx = jnp.minimum(midx_raw, n_samples - 1)
+            ray_valid = (jnp.repeat(gsel, g, axis=1)
+                         & (midx_raw < n_samples)
+                         & jnp.take_along_axis(valid_occ, midx, axis=1))
+        else:
+            midx, ray_valid = select(valid_occ, march_cap)
         coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
         z_vals = jnp.take_along_axis(z_vals, midx, axis=1)
         dists = jnp.take_along_axis(dists, midx, axis=1)
@@ -195,7 +240,14 @@ def render_rays(
         ray_valid = ray_valid & (F.sample_alpha_mask(scene, xyz) > 0)
 
     # density — dense masked compute on the (possibly culled) sample set
-    sigma_feat = F.density_feature(cfg, params, coords)
+    if (march_group > 1 and 0 < march_cap < n_samples
+            and cfg.decomp in ("vm", "vm_stacked")):
+        sigma_feat = F.density_feature_grouped(
+            cfg, params,
+            coords.reshape(B, march_cap // march_group, march_group, 3)
+        ).reshape(B, march_cap)
+    else:
+        sigma_feat = F.density_feature(cfg, params, coords)
     sigma = jnp.where(ray_valid, F.feature2density(cfg, sigma_feat), 0.0)
 
     alpha, weight, bg_weight = raw2alpha(sigma, dists * cfg.distance_scale)

@@ -34,6 +34,7 @@ def render_train_batch(
     app_cap: int = 32,
     march_cap: int = 0,
     march_select: str = "scatter",
+    march_group: int = 0,
     second_march_cap: int = 32,
     secondary_use_baked: bool = True,
     secondary_bake_reso: int = 0,
@@ -63,6 +64,7 @@ def render_train_batch(
         n_samples=n_samples, key=k_fwd, is_train=is_train,
         is_relight=is_relight, white_bg=white_bg, app_cap=app_cap,
         march_cap=march_cap, march_select=march_select,
+        march_group=march_group,
         ndc_ray=ndc_ray, normal_gt=normal_gt)
 
     if not is_relight:

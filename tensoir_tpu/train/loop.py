@@ -87,6 +87,42 @@ def resolve_march_group(cfg: TensoIRConfig, aabb, grid_size) -> int:
     return eff
 
 
+def resolve_primary_march_group(cfg: TensoIRConfig, aabb, grid_size,
+                                step_ratio: float) -> int:
+    """Largest legal grouped PRIMARY march factor for the live aabb,
+    downgrading cfg.march_group 4 -> 2 -> 0. The 16-corner block contract
+    needs the per-axis group span (g-1) * step / unit_axis <= 2 cells
+    (primary.render_rays); step = step_ratio * mean(units), and a
+    non-uniform shrink can leave units anisotropic until the next
+    N_to_reso upsample — so the worst axis is re-checked here at every
+    phase rebuild."""
+    if cfg.march_group <= 1 or cfg.march_cap_primary <= 0:
+        return 0
+    aabb = np.asarray(aabb).reshape(2, 3)
+    units = (aabb[1] - aabb[0]) / (np.asarray(grid_size, np.float64) - 1.0)
+    span_cells = step_ratio * float(np.mean(units) / np.min(units))
+    g = cfg.march_group
+    last_err = ""
+    while g > 1:
+        if cfg.march_cap_primary % g:
+            last_err = (f"march_cap_primary={cfg.march_cap_primary} not "
+                        f"divisible by {g}")
+            g //= 2
+            continue
+        worst = (g - 1) * span_cells
+        if worst <= 2.0:
+            break
+        last_err = (f"(g-1)*step = {worst:.2f} cells on the worst axis "
+                    f"(> 2, live aabb units {units})")
+        g //= 2
+    eff = g if g > 1 else 0
+    if eff != cfg.march_group:
+        print(f"[loop] grouped primary march downgraded "
+              f"{cfg.march_group} -> {eff} for this phase: {last_err}",
+              flush=True)
+    return eff
+
+
 class SimpleSampler:
     """Random-permutation batcher (train_tensoIR.py:36-48)."""
 
@@ -288,6 +324,11 @@ def reconstruction(
                 vis_near=cfg.second_near, vis_far=cfg.second_far)
             eff_group = resolve_march_group(cfg, scene["aabb"],
                                             F.grid_size_of(params))
+        eff_pgroup = 0
+        if relight and cfg.march_group > 1:
+            eff_pgroup = resolve_primary_march_group(
+                cfg, scene["aabb"], F.grid_size_of(params),
+                fcfg.step_ratio)
         optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
                                    cfg.lr_basis * lr_scale, lr_factor)
         opt_state = optimizer.init(params)
@@ -296,6 +337,7 @@ def reconstruction(
             sample_method=cfg.light_sample_train,
             app_cap=cfg.app_cap_per_ray,
             march_cap=cfg.march_cap_primary if relight else 0,
+            march_group=eff_pgroup,
             second_march_cap=cfg.march_cap_secondary,
             secondary_use_baked=cfg.secondary_use_baked,
             secondary_bake_reso=cfg.secondary_bake_reso,

@@ -60,6 +60,7 @@ class StepStatic:
     second_prepass_n: int = 18        # coarse-occupancy prepass samples
     coarse_dilate: int = 2            # coarse-occupancy dilation (cells)
     march_select: str = "scatter"     # primary occupied-sample selection
+    march_group: int = 0              # grouped primary march (0=off, 2/4)
     secondary_compact_frac: float = 0.0  # hemisphere-pair compaction
     second_march_group: int = 0       # grouped fine march (0=off, 2/4)
     group_bake_reso: int = 0          # 27-pack bake reso (0 = bake_reso)
@@ -84,6 +85,7 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         is_relight=st.is_relight, white_bg=st.white_bg,
         sample_method=st.sample_method, app_cap=st.app_cap,
         march_cap=st.march_cap, march_select=st.march_select,
+        march_group=st.march_group,
         second_march_cap=st.second_march_cap,
         secondary_use_baked=st.secondary_use_baked,
         secondary_bake_reso=st.secondary_bake_reso,
