@@ -56,6 +56,10 @@ def main(argv=None):
     parser.add_argument("--group_bake", type=int, default=0,
                         help="bake resolution for the grouped-march block "
                              "rows (0=secondary_bake_reso)")
+    parser.add_argument("--primary_group", type=int, default=0,
+                        help="grouped PRIMARY march: one 16-corner block "
+                             "row per group of g density samples (0/1=off; "
+                             "exact, see tests/test_grouped_primary.py)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.compile_cache import enable as _cc
@@ -110,6 +114,7 @@ def main(argv=None):
         app_bake_reso=args.app_bake,
         second_march_group=args.march_group,
         group_bake_reso=args.group_bake,
+        march_group=args.primary_group,
         vis_every=0,
         N_vis=0,
         save_iters=0,

@@ -15,9 +15,18 @@ Run detached on the TPU (CLAUDE.md: never under timeout):
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# escape hatch for queue scripts: near a round boundary a queued profile
+# must not hold the serialized axon tunnel while the driver's end-of-round
+# bench wants it — touch /tmp/skip_ablate to turn a queued run into a no-op
+if os.path.exists("/tmp/skip_ablate"):
+    print("skipped: /tmp/skip_ablate present", flush=True)
+    sys.exit(0)
 
 
 def main():
