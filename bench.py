@@ -58,6 +58,14 @@ def main():
     PREPASS = 12           # coarse-occupancy prepass samples
     DILATE = 3             # coarse dilation (margin >= half prepass spacing;
                            # quality gate: log/synthetic_demo_r2_d3p12)
+    APP_BAKE = 64          # baked secondary app feature: ONE row gather per
+                           # app sample instead of three packed plane
+                           # gathers. Adopted on the strength of on-chip
+                           # loss-identity (6 sig digits over 8 optimizer
+                           # steps, reso-insensitive 64 vs 96 — BASELINE.md
+                           # r2 A/B); the g4 grouped secondary march from
+                           # the same A/B was NOT adopted (gate F BRDF
+                           # -0.31 dB, log/synthetic_demo_r3_gateF)
 
     if platform == "cpu":  # CI / local smoke fallback
         B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 256
@@ -65,6 +73,7 @@ def main():
         WINDOW = 12
         WINDOW_BACK = 4
         PREPASS = 8
+        APP_BAKE = 32
 
     cfg = FieldConfig(
         density_n_comp=(16, 16, 16),
@@ -107,6 +116,7 @@ def main():
                     second_prepass_n=PREPASS,
                     coarse_dilate=DILATE,
                     secondary_compact_frac=COMPACT,
+                    app_bake_reso=APP_BAKE,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)
