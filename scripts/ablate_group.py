@@ -81,8 +81,10 @@ def main():
         "g4_gb96_ab96": {"second_march_group": 4, "group_bake_reso": 96,
                          "app_bake_reso": 96},
         # grouped PRIMARY march (exact by construction; tests/
-        # test_grouped_primary.py) — alone and on top of the r2 winner
+        # test_grouped_primary.py) — alone, on the adopted ab64 canonical,
+        # and on top of the (gate-rejected) full r2 A/B winner
         "pg4": {"march_group": 4},
+        "ab64_pg4": {"app_bake_reso": 64, "march_group": 4},
         "g4_gb64_ab64_pg4": {"second_march_group": 4, "group_bake_reso": 64,
                              "app_bake_reso": 64, "march_group": 4},
     }

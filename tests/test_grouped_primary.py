@@ -157,3 +157,21 @@ def test_march_group_contract_rejected():
         assert "block contract" in str(e)
     else:
         raise AssertionError("contract violation not rejected")
+
+
+def test_resolve_primary_march_group_downgrades():
+    from tensoir_tpu.config import TensoIRConfig
+    from tensoir_tpu.train.loop import resolve_primary_march_group
+    cfg = TensoIRConfig(march_group=4, march_cap_primary=192)
+    iso = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    # isotropic units at step_ratio 0.5: (4-1)*0.5 = 1.5 <= 2 -> keep 4
+    assert resolve_primary_march_group(cfg, iso, (200, 200, 200), 0.5) == 4
+    # anisotropic shrink (x-axis halved, grid kept): worst axis
+    # 1.5 * mean/min ~ 2.5 > 2 -> downgrade to 2
+    aniso = np.array([[-0.6, -1.5, -1.5], [0.6, 1.5, 1.5]], np.float32)
+    assert resolve_primary_march_group(cfg, aniso, (200, 200, 200), 0.5) == 2
+    # huge step: no group legal
+    assert resolve_primary_march_group(cfg, iso, (200, 200, 200), 2.0) == 0
+    # cap not divisible by 4 -> falls to 2
+    cfg2 = TensoIRConfig(march_group=4, march_cap_primary=190)
+    assert resolve_primary_march_group(cfg2, iso, (200, 200, 200), 0.5) == 2
