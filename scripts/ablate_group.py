@@ -105,8 +105,21 @@ def main():
                         jax.random.fold_in(key, i + 1), jnp.asarray(i + 1))[2]
         loss = float(m["total_loss"])  # host sync
         ms = (time.perf_counter() - t0) / n_iters * 1e3
-        print(json.dumps({"variant": name, "ms": round(ms, 1),
-                          "loss": round(loss, 6)}), flush=True)
+        rec = {"variant": name, "ms": round(ms, 1), "loss": round(loss, 6)}
+        if "march_overflow_frac" in m:
+            # exactness monitor for march_group (ADVICE r2): grouped
+            # selection keeps cap/g occupied GROUPS, so overflow means up to
+            # g x fewer occupied samples than the per-sample cap — adopt pg
+            # variants only at ~0 overflow
+            rec["march_overflow_frac"] = round(
+                float(m["march_overflow_frac"]), 6)
+        if over.get("march_group", 0) > 1:
+            # note: the 16-corner packed copy is a 16x materialization of
+            # each density plane per query (~90MB/plane at reso 300^2 x 16
+            # comps) — if pg loses on-chip, the big-table gather penalty
+            # (46 vs 84M rows/s) is the likely cause
+            rec["note"] = "pg uses 16x packed density planes"
+        print(json.dumps(rec), flush=True)
     print("done", flush=True)
 
 

@@ -227,10 +227,11 @@ def bilerp_plane_group_packed(plane: jax.Array, x: jax.Array,
     16-corner block-row gather per group.
 
     Exact (same math as `bilerp_plane_packed`) whenever every sample in a
-    group lies within a 3x3-cell block — guaranteed for depth-consecutive
-    march samples at step_ratio <= 1 with group size <= 4 (positions span
-    <= (g-1)*step <= 1.5 cells, so per-sample cell indices differ <= 2 per
-    axis). TPU gathers and their VJP scatters are row-COUNT-bound with row
+    group lies within a 3x3-cell block, i.e. the group's per-axis position
+    span (g-1)*step is <= 2 cells so per-sample cell indices differ <= 2
+    per axis (at g=4 that means step_ratio <= 2/3; `render_rays` enforces
+    (g-1)*step_ratio <= 2 statically and the train loop re-checks against
+    live grid units). TPU gathers and their VJP scatters are row-COUNT-bound with row
     width nearly free (CLAUDE.md measurements), so one [16C] block row per
     group replaces g [4C] rows: ~g x fewer rows on both the forward gather
     and the backward scatter-add — the grouped-march trick

@@ -190,6 +190,15 @@ def render_rays(
         select = (select_occupied_samples_scatter if march_select == "scatter"
                   else select_occupied_samples)
         valid_occ = ray_valid & occ
+        if march_group > 1 and ndc_ray:
+            # sample_ray_ndc spaces samples uniformly in [near, far] with
+            # per-sample jitter — spacing is unrelated to step_ratio, so the
+            # (g-1)*step_ratio block contract below proves nothing and the
+            # 16-corner block query could silently drop corner weights
+            raise ValueError(
+                "march_group > 1 is not supported with ndc_ray=True: the "
+                "NDC march's sample spacing is not step_ratio-based, so the "
+                "3x3-cell block contract cannot be checked statically")
         if march_group > 1:
             # group-aligned selection: keep GROUPS of `g` raw-consecutive
             # samples (any member occupied). A superset of the per-sample
@@ -221,6 +230,14 @@ def render_rays(
             vpad = jnp.pad(valid_occ,
                            ((0, 0), (0, n_groups * g - n_samples)))
             gvalid = jnp.any(vpad.reshape(B, n_groups, g), axis=2)
+            # overflow monitor: grouped selection keeps march_cap/g OCCUPIED
+            # GROUPS — with fragmented occupancy that can be up to g x fewer
+            # occupied SAMPLES than the per-sample cap would keep. Exactness
+            # vs the per-sample march holds only on non-overflowing rays, so
+            # surface the rate (cheap adoption gate; see ADVICE r2)
+            march_overflow_frac = jnp.mean(
+                (jnp.sum(gvalid, axis=1) > march_cap // g)
+                .astype(jnp.float32))
             gidx, gsel = select(gvalid, march_cap // g)
             midx_raw = (gidx[..., None] * g
                         + jnp.arange(g, dtype=jnp.int32)
@@ -230,6 +247,9 @@ def render_rays(
                          & (midx_raw < n_samples)
                          & jnp.take_along_axis(valid_occ, midx, axis=1))
         else:
+            march_overflow_frac = jnp.mean(
+                (jnp.sum(valid_occ, axis=1) > march_cap)
+                .astype(jnp.float32))
             midx, ray_valid = select(valid_occ, march_cap)
         coords = jnp.take_along_axis(coords, midx[..., None], axis=1)
         z_vals = jnp.take_along_axis(z_vals, midx, axis=1)
@@ -286,6 +306,8 @@ def render_rays(
         "depth_map": depth_map,
         "acc_map": acc_map,
     }
+    if 0 < march_cap < n_samples:
+        out["march_overflow_frac"] = march_overflow_frac
 
     # background decision: white_bg or 50% random at train
     # (tensorBase_rotated_lights.py:979,1004)

@@ -163,6 +163,12 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
 
     metrics["total_loss"] = total
     metrics["psnr"] = -10.0 * jnp.log(loss_rgb) / jnp.log(10.0)
+    if "march_overflow_frac" in ret:
+        # fraction of rays whose occupied sample (or group) count exceeded
+        # march_cap — the exactness monitor for the culled/grouped primary
+        # march (grouped selection can keep up to g x fewer occupied samples
+        # on overflow; see render_rays / ADVICE r2)
+        metrics["march_overflow_frac"] = ret["march_overflow_frac"]
     if "acc_mask" in ret:
         # how many rays the reference would relight (renderer.py:86-107);
         # bench.py counts visibility rays as min(this, relight_ray_cap)*dirs
