@@ -26,11 +26,15 @@ def main():
     from tensoir_tpu.train.step import LossWeights, StepStatic, make_train_step
     from tensoir_tpu.utils.bench_scene import bench_rays, seed_solid_blob
 
+    import os
     platform = jax.devices()[0].platform
     B, GRID, N_SAMPLES, RELIGHT_CAP = 4096, 200, 700, 4096
     ENV_H, ENV_W, SECOND_N, TILE = 16, 32, 96, 32768
     MASK_RESO = 128
-    n_iters = 8
+    # tunnel noise is ±5% run-to-run (BASELINE.md): widen via env when an
+    # adoption decision rides on the delta, and interleave variants
+    # (e.g. `ablate_group.py a b a b`) so drift averages out
+    n_iters = int(os.environ.get("ABLATE_ITERS", "8"))
     if platform == "cpu":
         B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 32
         ENV_H, ENV_W, SECOND_N, TILE = 4, 8, 16, 1024

@@ -74,6 +74,13 @@ class TensoIRConfig:
     test_number: int = 200
     render_train: int = 0
     render_path: int = 0
+    # orbit-path video knobs (render_path; tensoIR_simple.py:84-155's
+    # test_new_pose machinery — the reference hardcodes 150 frames)
+    n_orbit: int = 150
+    # flag-gated fast secondary march for the eval suite (the canonical
+    # quality-gated window/compaction/bake config, render/eval.py
+    # FAST_MARCH_KNOBS); 0 = the reference's exact full march
+    eval_fast: int = 0
     export_mesh: int = 0
 
     # rendering options (opt.py:109-118)

@@ -22,17 +22,35 @@ from tensoir_tpu.render.secondary import secondary_shading_tiled
 
 
 def incident_light_dirs(cfg: F.FieldConfig, sample_method: str,
-                        key: Optional[jax.Array]):
+                        key: Optional[jax.Array],
+                        params: Optional[Dict] = None,
+                        gt_envmap=None):
     """Light-direction set for the integral (gen_light_incident_dirs,
-    tensorBase_rotated_lights.py:492-574). Returns [L, 3]."""
-    if sample_method == "fixed_envirmap" or key is None:
+    tensorBase_rotated_lights.py:492-574).
+
+    Returns (dirs [L, 3], light_pdf [L, 1] or None). The pdf is non-None
+    only for 'importance_sample' — dirs drawn from the LEARNED light's
+    intensity*sin(theta) distribution (tensorBase_rotated_lights.py:
+    546-574), which the caller must pair with the Monte Carlo estimator
+    mean(brdf * L * cos / pdf) instead of the area-weighted sum. With
+    key=None (deterministic eval) importance sampling degrades to the
+    fixed lat-long grid, like the other stochastic modes.
+    """
+    if sample_method == "importance_sample" and key is not None:
+        if params is None:
+            raise ValueError("importance_sample needs the light params")
+        dirs, _, pdf = lighting.gen_light_incident_dirs_importance(
+            params, cfg, key, cfg.envmap_h * cfg.envmap_w,
+            gt_envmap=gt_envmap)
+        return dirs, pdf
+    if sample_method in ("fixed_envirmap", "importance_sample") or key is None:
         _, dirs = lighting.envmap_dirs(cfg.envmap_h, cfg.envmap_w)
-        return jnp.asarray(dirs)
+        return jnp.asarray(dirs), None
     if sample_method == "stratified_sampling":
-        return lighting.stratified_dirs(key, cfg.envmap_h, cfg.envmap_w)
+        return lighting.stratified_dirs(key, cfg.envmap_h, cfg.envmap_w), None
     if sample_method == "stratifed_sample_equal_areas":
         return lighting.stratified_equal_area_dirs(key, cfg.envmap_h,
-                                                   cfg.envmap_w)
+                                                   cfg.envmap_w), None
     raise ValueError(f"unknown light sample method {sample_method}")
 
 
@@ -75,7 +93,9 @@ def render_with_brdf(
     area_weight, _ = lighting.envmap_dirs(cfg.envmap_h, cfg.envmap_w)
     area_weight = jnp.asarray(area_weight)                      # [L]
 
-    in_dirs = incident_light_dirs(cfg, sample_method, key)      # [L, 3]
+    in_dirs, light_pdf = incident_light_dirs(
+        cfg, sample_method, key, params=params,
+        gt_envmap=scene.get("gt_envmap"))                       # [L, 3]
     L = in_dirs.shape[0]
     surf2l = jnp.broadcast_to(in_dirs[None], (P, L, 3))
     surf2c = safe_l2_normalize(-rays_d, axis=-1)
@@ -110,6 +130,17 @@ def render_with_brdf(
     if sample_method == "stratifed_sample_equal_areas":
         rgb = jnp.mean(4.0 * np.pi * surface_brdf * light_rgbs
                        * cosine[..., None], axis=1)
+    elif light_pdf is not None:
+        # importance-sampled Monte Carlo estimator: dirs were drawn from
+        # pdf ∝ intensity*sin(theta) over the sphere, so the integral is
+        # mean(brdf * L * cos / pdf) — the pdf-weighted analog of the
+        # equal-area estimator at relight_utils.py:470-475 (the reference
+        # implements the sampler at tensorBase_rotated_lights.py:546-574
+        # but never wires this estimator; its relight pipeline uses the
+        # same math per-point, scripts/relight_importance.py:119-144)
+        inv_pdf = 1.0 / jnp.maximum(light_pdf[None, :, :], 1e-8)  # [1,L,1]
+        rgb = jnp.mean(surface_brdf * light_rgbs * cosine[..., None]
+                       * inv_pdf, axis=1)
     else:
         rgb = jnp.sum(surface_brdf * light_rgbs * cosine[..., None]
                       * area_weight[None, :, None], axis=1)

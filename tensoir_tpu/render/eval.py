@@ -23,6 +23,16 @@ from tensoir_tpu.render.train_render import render_train_batch
 from tensoir_tpu.utils import metrics as M
 
 
+# canonical fast-march knobs (bench.py's adopted config; quality gates in
+# BASELINE.md): interval-culled front/back window + hemisphere-pair
+# compaction + coarse 128^3 bake + baked app feature. 5-10x fewer secondary
+# rows per pair than the exact full march at second_march_cap=48.
+FAST_MARCH_KNOBS = dict(
+    second_window=48, second_window_back=16, second_prepass_n=12,
+    coarse_dilate=3, secondary_compact_frac=0.5625,
+    secondary_bake_reso=128, app_bake_reso=64)
+
+
 @lru_cache(maxsize=32)
 def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
                        is_relight: bool = True, white_bg: bool = True,
@@ -30,6 +40,10 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
                        second_n_sample: int = 96, second_near: float = 0.05,
                        second_far: float = 1.5, secondary_tile: int = 16384,
                        march_cap: int = 256, second_march_cap: int = 48,
+                       second_window: int = 0, second_window_back: int = 0,
+                       second_prepass_n: int = 18, coarse_dilate: int = 2,
+                       secondary_compact_frac: float = 0.0,
+                       secondary_bake_reso: int = 0, app_bake_reso: int = 0,
                        ndc_ray: bool = False):
     """Jitted fixed-size chunk renderer (eval: no jitter, fixed envmap dirs).
 
@@ -38,6 +52,12 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
     call (every argument is hashable; FieldConfig is a frozen dataclass).
     Shape-changing lifecycle events land in a different cache slot via
     `n_samples`; stale slots for dead shapes age out of the LRU.
+
+    The fast-march knobs (window / prepass / compaction / bake resolutions)
+    default to the EXACT full march — the reference's eval protocol
+    (renderer.py:225-250). `evaluation_iter(fast_march=True)` plumbs the
+    canonical training-path fast config (FAST_MARCH_KNOBS) through, like
+    relight_pipeline's `fast_vis`.
     """
 
     @jax.jit
@@ -49,6 +69,13 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
             sample_method="fixed_envirmap", app_cap=app_cap,
             march_cap=march_cap, second_march_cap=second_march_cap,
             relight_ray_cap=relight_ray_cap,
+            second_window=second_window,
+            second_window_back=second_window_back,
+            second_prepass_n=second_prepass_n,
+            coarse_dilate=coarse_dilate,
+            secondary_compact_frac=secondary_compact_frac,
+            secondary_bake_reso=secondary_bake_reso,
+            app_bake_reso=app_bake_reso,
             second_n_sample=second_n_sample, second_near=second_near,
             second_far=second_far, secondary_tile=secondary_tile,
             ndc_ray=ndc_ray)
@@ -120,6 +147,7 @@ def evaluation_iter(
     secondary_tile: int = 16384,
     light_idx_to_test: int = 0,
     ndc_ray: bool = False,
+    fast_march: bool = False,
     logger=None,
     log_step: int = 0,
 ) -> Dict[str, float]:
@@ -127,6 +155,10 @@ def evaluation_iter(
 
     Matches evaluation_iter_TensoIR (renderer.py:134-516); metrics that need
     GT the dataset lacks are omitted (the _simple variant's behavior).
+    fast_march=True renders with the canonical fast secondary march
+    (FAST_MARCH_KNOBS) instead of the exact full march — flag-gated, like
+    relight_pipeline's fast_vis; verified PSNR-neutral to reported precision
+    in tests/test_eval_fast_march.py.
     """
     import imageio.v2 as imageio
 
@@ -135,11 +167,12 @@ def evaluation_iter(
                     "brdf", "envir_map", "acc_map"):
             os.makedirs(os.path.join(save_path, sub), exist_ok=True)
 
+    fast_knobs = dict(FAST_MARCH_KNOBS) if fast_march else {}
     chunk_fn, chunk = make_eval_chunk_fn(
         cfg, n_samples=n_samples, chunk=chunk, white_bg=white_bg,
         app_cap=app_cap, relight_ray_cap=relight_ray_cap,
         second_n_sample=second_n_sample, secondary_tile=secondary_tile,
-        ndc_ray=ndc_ray)
+        ndc_ray=ndc_ray, **fast_knobs)
 
     # --- environment-map strip (renderer.py:183-202; the general-multi
     # variant stacks ALL learned lights, renderer.py:838-861) ---
@@ -329,3 +362,78 @@ def evaluation_iter(
                     print(f"[eval] gif export skipped: {e2}")
 
     return results
+
+
+def evaluation_path(
+    cfg: F.FieldConfig,
+    params: Dict,
+    scene: Dict,
+    path_dataset,
+    *,
+    n_samples: int,
+    save_path: str,
+    chunk: int = 4096,
+    second_n_sample: int = 96,
+    secondary_tile: int = 16384,
+    light_idx_to_test: int = 0,
+    fast_march: bool = True,
+    ndc_ray: bool = False,
+) -> int:
+    """Render a GT-free camera path (orbit video): rgb / brdf / normal
+    frames + videos, no metrics.
+
+    The `--render_path` driver mode (train_tensoIR.py:455-462's
+    `evaluation_path`, dead-commented upstream but dispatched at :478) on
+    the orbit machinery of `TensoIRSimpleDataset(test_new_pose=True)`
+    (tensoIR_simple.py:84-155). `path_dataset` must serve per-view items
+    with synthetic poses (rays + img_wh, white GT). fast_march defaults ON:
+    there is no GT to compare against and the canonical fast march is
+    quality-gated (BASELINE.md). Returns the number of frames written.
+    """
+    import imageio.v2 as imageio
+
+    for sub in ("rgb", "brdf", "normal"):
+        os.makedirs(os.path.join(save_path, sub), exist_ok=True)
+
+    fast_knobs = dict(FAST_MARCH_KNOBS) if fast_march else {}
+    chunk_fn, chunk = make_eval_chunk_fn(
+        cfg, n_samples=n_samples, chunk=chunk,
+        second_n_sample=second_n_sample, secondary_tile=secondary_tile,
+        ndc_ray=ndc_ray, **fast_knobs)
+
+    to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
+    rgb_frames, brdf_frames, normal_frames = [], [], []
+    for vi in range(len(path_dataset)):
+        item = path_dataset[vi]
+        W, H = item["img_wh"]
+        rays = np.asarray(item["rays"], np.float32)
+        lidx = np.full((rays.shape[0], 1), light_idx_to_test, np.int32)
+        out = render_image(chunk_fn, chunk, params, scene, rays, lidx)
+        rgb8 = to8(out["rgb_map"].reshape(H, W, 3))
+        brdf8 = to8(out["rgb_with_brdf_map"].reshape(H, W, 3))
+        nrm8 = to8(out["normal_map"].reshape(H, W, 3) * 0.5 + 0.5)
+        imageio.imwrite(os.path.join(save_path, "rgb", f"{vi:03d}.png"), rgb8)
+        imageio.imwrite(os.path.join(save_path, "brdf", f"{vi:03d}.png"),
+                        brdf8)
+        imageio.imwrite(os.path.join(save_path, "normal", f"{vi:03d}.png"),
+                        nrm8)
+        rgb_frames.append(rgb8)
+        brdf_frames.append(brdf8)
+        normal_frames.append(nrm8)
+
+    videos = [("rgb", rgb_frames), ("rgb_brdf", brdf_frames),
+              ("normal", normal_frames)]
+    try:
+        for name, frames in videos:
+            imageio.mimsave(os.path.join(save_path, f"{name}.mp4"),
+                            np.stack(frames), fps=24, quality=8)
+    except Exception as e:
+        print(f"[path] mp4 export unavailable ({e}); writing GIFs")
+        try:
+            for name, frames in videos:
+                imageio.mimsave(os.path.join(save_path, f"{name}.gif"),
+                                np.stack(frames), format="GIF",
+                                duration=1000 // 24, loop=0)
+        except Exception as e2:
+            print(f"[path] gif export skipped: {e2}")
+    return len(rgb_frames)

@@ -67,6 +67,36 @@ def build_dataset(cfg, split: str):
     return cls(cfg.datadir, cfg.hdrdir, **kw)
 
 
+def render_orbit_path(cfg, fcfg, params, scene, n_samples, logfolder):
+    """--render_path: orbit-path video via the test_new_pose machinery
+    (tensoIR_simple.py:84-155; dispatch train_tensoIR.py:478). Datasets
+    without synthetic-orbit support are rejected loudly, not ignored."""
+    from tensoir_tpu.data import get_dataset
+    from tensoir_tpu.render.eval import evaluation_path
+
+    import inspect
+    cls = get_dataset(cfg.dataset_name)
+    if "test_new_pose" not in inspect.signature(cls.__init__).parameters:
+        raise SystemExit(
+            f"--render_path needs a dataset with synthetic-orbit support "
+            f"(test_new_pose); {cfg.dataset_name} has none")
+    kw = dict(split="test", downsample=cfg.downsample_test,
+              light_rotation=list(cfg.light_rotation),
+              light_name=cfg.light_name, test_new_pose=True,
+              n_orbit=cfg.n_orbit)
+    if cfg.scene_bbox:
+        kw["scene_bbox"] = np.asarray(
+            cfg.scene_bbox, np.float32).reshape(2, 3)
+    path_dataset = cls(cfg.datadir, cfg.hdrdir, **kw)
+    n = evaluation_path(
+        fcfg, params, scene, path_dataset, n_samples=n_samples,
+        save_path=os.path.join(logfolder, "imgs_path_all"),
+        chunk=cfg.batch_size_test, second_n_sample=cfg.second_nSample,
+        secondary_tile=cfg.secondary_tile,
+        fast_march=bool(cfg.eval_fast), ndc_ray=bool(cfg.ndc_ray))
+    print(f"======> {cfg.expname} path: {n} frames -> imgs_path_all")
+
+
 def main(argv=None):
     cfg = parse_cli(argv)
 
@@ -97,20 +127,37 @@ def main(argv=None):
         if not (cfg.render_only or cfg.render_test):
             return
 
-    if cfg.render_only and cfg.render_test:
+    if cfg.render_only and (cfg.render_test or cfg.render_train
+                            or cfg.render_path):
+        # render-only dispatch (reference train_tensoIR.py:478 accepts
+        # render_test OR render_path; render_train added for symmetry)
         fcfg, params, scene, extra = load_checkpoint(cfg.ckpt)
-        test_dataset = build_dataset(cfg, "test")
         n_samples = min(cfg.nSamples,
                         LC.cal_n_samples(grid_size_of(params), cfg.step_ratio))
-        results = evaluation_iter(
-            fcfg, params, scene, test_dataset,
-            n_samples=n_samples,
-            save_path=os.path.join(logfolder, "imgs_test_all"),
-            chunk=cfg.batch_size_test, test_all=True,
-            second_n_sample=cfg.second_nSample,
-            secondary_tile=cfg.secondary_tile,
-            ndc_ray=bool(cfg.ndc_ray))
-        print(results)
+        if cfg.render_test:
+            results = evaluation_iter(
+                fcfg, params, scene, build_dataset(cfg, "test"),
+                n_samples=n_samples,
+                save_path=os.path.join(logfolder, "imgs_test_all"),
+                chunk=cfg.batch_size_test, test_all=True,
+                second_n_sample=cfg.second_nSample,
+                secondary_tile=cfg.secondary_tile,
+                fast_march=bool(cfg.eval_fast),
+                ndc_ray=bool(cfg.ndc_ray))
+            print(results)
+        if cfg.render_train:
+            results = evaluation_iter(
+                fcfg, params, scene, build_dataset(cfg, "train"),
+                n_samples=n_samples,
+                save_path=os.path.join(logfolder, "imgs_train_all"),
+                chunk=cfg.batch_size_test, test_all=True,
+                second_n_sample=cfg.second_nSample,
+                secondary_tile=cfg.secondary_tile,
+                fast_march=bool(cfg.eval_fast),
+                ndc_ray=bool(cfg.ndc_ray))
+            print(f"======> {cfg.expname} train all: {results}")
+        if cfg.render_path:
+            render_orbit_path(cfg, fcfg, params, scene, n_samples, logfolder)
         return
 
     # ---- training ----
@@ -129,6 +176,7 @@ def main(argv=None):
                 n_vis=cfg.N_vis, compute_extra_metrics=False,
                 second_n_sample=cfg.second_nSample,
                 secondary_tile=cfg.secondary_tile,
+                fast_march=bool(cfg.eval_fast),
                 ndc_ray=bool(cfg.ndc_ray),
                 logger=logger, log_step=it)
             print(f"[eval @{it}] {results}")
@@ -162,8 +210,28 @@ def main(argv=None):
                 second_n_sample=cfg.second_nSample,
                 secondary_tile=cfg.secondary_tile,
                 light_idx_to_test=li,
+                fast_march=bool(cfg.eval_fast),
                 ndc_ray=bool(cfg.ndc_ray))
             print(f"======> {cfg.expname} test all{suffix}: {results}")
+
+    if cfg.render_train and jax.process_index() == 0:
+        # render the train views (reference train_tensoIR.py:426-431)
+        results = evaluation_iter(
+            result.fcfg, result.params, result.scene,
+            build_dataset(cfg, "train"),
+            n_samples=result.n_samples,
+            save_path=os.path.join(logfolder, "imgs_train_all"),
+            chunk=cfg.batch_size_test, test_all=True,
+            compute_extra_metrics=False,
+            second_n_sample=cfg.second_nSample,
+            secondary_tile=cfg.secondary_tile,
+            fast_march=bool(cfg.eval_fast),
+            ndc_ray=bool(cfg.ndc_ray))
+        print(f"======> {cfg.expname} train all: {results}")
+
+    if cfg.render_path and jax.process_index() == 0:
+        render_orbit_path(cfg, result.fcfg, result.params, result.scene,
+                          result.n_samples, logfolder)
 
 
 if __name__ == "__main__":
