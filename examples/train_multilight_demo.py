@@ -24,6 +24,8 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="./log/multilight_demo")
     parser.add_argument("--img", type=int, default=96)
     parser.add_argument("--views", type=int, default=16)
+    parser.add_argument("--relight_cap", type=int, default=4096,
+                        help="reference-faithful: relight every masked ray")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override
@@ -65,7 +67,15 @@ def main(argv=None):
         TV_weight_app=0.005,
         app_cap_per_ray=32,
         march_cap_primary=192,
-        relight_ray_cap=512,
+        relight_ray_cap=args.relight_cap,
+        # canonical fast-march knobs (quality-gated, BASELINE.md r2)
+        secondary_bake_reso=128,
+        second_window=48,
+        second_window_back=16,
+        second_prepass_n=12,
+        coarse_dilate=3,
+        secondary_compact_frac=0.5625,
+        app_bake_reso=64,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,
