@@ -161,3 +161,49 @@ def safe_l2_normalize(x, axis=-1, eps: float = 1e-6):
     sq = jnp.sum(x * x, axis=axis, keepdims=True)
     norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
     return x / norm
+
+
+def convert_sph_conventions(pts_r_angle1_angle2, what2what: str):
+    """Convert between spherical-coordinate conventions
+    (relight_utils.py:537-567; numpy util used by light-probe tooling):
+
+    * 'lat-lng': (r, latitude in [-pi/2, pi/2] from the equator,
+      longitude in [-pi, pi]).
+    * 'theta-phi': (r, polar angle theta in [0, pi] from +z,
+      azimuth phi in [0, 2pi]).
+    """
+    import numpy as _np
+    pts = _np.asarray(pts_r_angle1_angle2)
+    out = _np.zeros(pts.shape)
+    out[:, 0] = pts[:, 0]
+    out[:, 1] = _np.pi / 2 - pts[:, 1]
+    if what2what == "lat-lng_to_theta-phi":
+        out[:, 2] = _np.where(pts[:, 2] < 0, 2 * _np.pi + pts[:, 2],
+                              pts[:, 2])
+        return out
+    if what2what == "theta-phi_to_lat-lng":
+        out[:, 2] = _np.where(pts[:, 2] > _np.pi, pts[:, 2] - 2 * _np.pi,
+                              pts[:, 2])
+        return out
+    raise NotImplementedError(what2what)
+
+
+def sph2cart(pts_sph, convention: str = "lat-lng"):
+    """Spherical -> cartesian (relight_utils.py:569-593): z = r sin(lat),
+    x = r cos(lat) cos(lng), y = r cos(lat) sin(lng)."""
+    import numpy as _np
+    pts_sph = _np.asarray(pts_sph)
+    assert pts_sph.ndim == 2 and pts_sph.shape[-1] == 3, \
+        "shape of input must be (n, 3)"
+    assert (_np.abs(pts_sph[:, 1:]) <= 2 * _np.pi).all(), \
+        "input angle falls out of [-2pi, 2pi]"
+    if convention == "lat-lng":
+        p = pts_sph
+    elif convention == "theta-phi":
+        p = convert_sph_conventions(pts_sph, "theta-phi_to_lat-lng")
+    else:
+        raise NotImplementedError(convention)
+    r, lat, lng = p[:, 0], p[:, 1], p[:, 2]
+    return _np.stack((r * _np.cos(lat) * _np.cos(lng),
+                      r * _np.cos(lat) * _np.sin(lng),
+                      r * _np.sin(lat)), axis=-1)
