@@ -49,6 +49,7 @@ def parse_cli(argv=None):
 
 
 def build_dataset(cfg, split: str):
+    import inspect
     from tensoir_tpu.data import get_dataset
     cls = get_dataset(cfg.dataset_name)
     kw = dict(
@@ -58,6 +59,11 @@ def build_dataset(cfg, split: str):
         light_rotation=list(cfg.light_rotation),
         light_name=cfg.light_name,
     )
+    if (split == "test" and cfg.test_number > 0
+            and "sub" in inspect.signature(cls.__init__).parameters):
+        # reference render_test caps the test split at test_number views
+        # (train_tensoIR.py:68-69, sub=args.test_number)
+        kw["sub"] = cfg.test_number
     if cfg.light_name_list:
         kw["light_name_list"] = list(cfg.light_name_list)
     if cfg.scene_bbox:
