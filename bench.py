@@ -181,9 +181,11 @@ def main():
     util = CM.utilization((xla or {}).get("flops"),
                           (xla or {}).get("bytes_accessed"),
                           step_s, jax.devices()[0])
+    # relight_cap here is the COMPUTE row count (the step marches cap
+    # pairs, padded rows included), not the honest counted-ray number
     rows = CM.gather_rows_per_step(
         batch=B, n_samples=N_SAMPLES, march_cap=192,
-        march_group=0, app_cap=32, relight_cap=min(n_masked, RELIGHT_CAP),
+        march_group=0, app_cap=32, relight_cap=RELIGHT_CAP,
         n_dirs=ENV_H * ENV_W, compact_frac=COMPACT, tile=TILE,
         window=WINDOW, prepass_n=PREPASS)
     row_budget_util = rows.predicted_step_s() / step_s if step_s > 0 else 0.0
