@@ -105,9 +105,11 @@ def main():
     optimizer = make_optimizer(params, 0.02, 1e-3, 0.999971)
     opt_state = optimizer.init(params)
 
+    MARCH_CAP = 192
+    APP_CAP = 32
     st = StepStatic(n_samples=N_SAMPLES, is_relight=True, white_bg=True,
-                    app_cap=32, relight_ray_cap=RELIGHT_CAP,
-                    march_cap=192, march_select="scatter",
+                    app_cap=APP_CAP, relight_ray_cap=RELIGHT_CAP,
+                    march_cap=MARCH_CAP, march_select="scatter",
                     second_march_cap=32,
                     secondary_use_baked=True,
                     secondary_bake_reso=128,
@@ -133,6 +135,26 @@ def main():
         # force a real device->host sync: on the experimental axon backend
         # block_until_ready alone does not guarantee execution completed
         return float(metrics["total_loss"])
+
+    # ONE AOT compile up front, reused for warmup + timing + cost analysis
+    # (lower().compile() after the loop would be a second full XLA compile
+    # unless the persistent cache hits — on the axon remote-compile
+    # endpoint that is a wedge risk, CLAUDE.md)
+    from tensoir_tpu.utils import cost_model as CM
+    xla = None
+    try:
+        compiled = step_fn.lower(params, opt_state, scene, batch, key,
+                                 jnp.asarray(0)).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        if analysis:
+            xla = {"flops": float(analysis.get("flops", 0.0)),
+                   "bytes_accessed": float(analysis.get("bytes accessed",
+                                                        0.0))}
+        step_fn = compiled
+    except Exception:
+        pass  # fall back to the jit path; cost fields omitted
 
     # warmup / compile
     p, s = params, opt_state
@@ -174,20 +196,19 @@ def main():
 
     # --- FLOP/byte accounting: MFU + HBM utilization + row budget ---
     # (VERDICT r2: ground the perf claim in hardware terms, not just a
-    # ratio against an estimated denominator)
-    from tensoir_tpu.utils import cost_model as CM
-    xla = CM.compiled_cost(step_fn, params, opt_state, scene, batch,
-                           key, jnp.asarray(0))
+    # ratio against an estimated denominator; flops/bytes harvested from
+    # the single AOT compile above)
     util = CM.utilization((xla or {}).get("flops"),
                           (xla or {}).get("bytes_accessed"),
                           step_s, jax.devices()[0])
     # relight_cap here is the COMPUTE row count (the step marches cap
     # pairs, padded rows included), not the honest counted-ray number
     rows = CM.gather_rows_per_step(
-        batch=B, n_samples=N_SAMPLES, march_cap=192,
-        march_group=0, app_cap=32, relight_cap=RELIGHT_CAP,
+        batch=B, n_samples=N_SAMPLES, march_cap=MARCH_CAP,
+        march_group=0, app_cap=APP_CAP, relight_cap=RELIGHT_CAP,
         n_dirs=ENV_H * ENV_W, compact_frac=COMPACT, tile=TILE,
-        window=WINDOW, prepass_n=PREPASS)
+        window=WINDOW, prepass_n=PREPASS,
+        bake_reso=st.secondary_bake_reso)
     row_budget_util = rows.predicted_step_s() / step_s if step_s > 0 else 0.0
 
     out = {
@@ -206,7 +227,7 @@ def main():
         # the honest speed-of-light number. MFU is reported for completeness
         # (a volumetric inverse renderer is not a matmul workload).
         "row_budget_util": round(row_budget_util, 4),
-        "gather_rows_per_step": rows.gather_rows,
+        "gather_rows_per_step": rows.gather_rows + rows.window_rows,
         "scatter_rows_per_step": rows.scatter_rows,
     }
     if "mfu" in util:

@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--img", type=int, default=128)
     parser.add_argument("--views", type=int, default=24)
     parser.add_argument("--batch", type=int, default=4096)
+    parser.add_argument("--save_iters", type=int, default=0,
+                        help="periodic full-state checkpoints (long runs)")
     parser.add_argument("--bake_reso", type=int, default=0,
                         help="coarse secondary-visibility bake cap (0=full)")
     parser.add_argument("--window", type=int, default=0,
@@ -117,7 +119,7 @@ def main(argv=None):
         march_group=args.primary_group,
         vis_every=0,
         N_vis=0,
-        save_iters=0,
+        save_iters=args.save_iters,
         progress_refresh_rate=50,
     )
 

@@ -25,7 +25,8 @@ python examples/train_synthetic_demo.py --iters 20000 --bake_reso 128 \
 echo "flagship exit: $?"
 
 echo "=== [3/6] relighting benchmark refresh on the 20k checkpoint"
-CKPT=$(find ./log/synthetic_demo_r3_20k -name "*.npz" | tail -1)
+CKPT=$(ls -t ./log/synthetic_demo_r3_20k/*/ckpt_final.npz 2>/dev/null | head -1)
+[ -z "$CKPT" ] && CKPT=$(find ./log/synthetic_demo_r3_20k -name "*.npz" -printf "%T@ %p\n" | sort -n | tail -1 | cut -d" " -f2-)
 echo "ckpt: $CKPT"
 python examples/relight_demo.py --ckpt "$CKPT" \
   --out ./log/relight_demo_r3 > /tmp/relight_r3.log 2>&1

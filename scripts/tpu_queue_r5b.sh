@@ -18,12 +18,13 @@ fi
 echo "=== [1/7] 20k-iter flagship at the final adopted canonical (GB96=$GB96)"
 python examples/train_synthetic_demo.py --iters 20000 --bake_reso 128 \
   --relight_cap 4096 --window 48 --window_back 16 --compact 0.5625 \
-  --prepass 12 --dilate 3 --app_bake $APPB $EXTRA \
+  --prepass 12 --dilate 3 --app_bake $APPB --save_iters 5000 $EXTRA \
   --out ./log/synthetic_demo_r3_20k > /tmp/demo_r3_20k.log 2>&1
 echo "flagship exit: $?"
 
 echo "=== [2/7] relighting benchmark refresh on the 20k checkpoint"
-CKPT=$(find ./log/synthetic_demo_r3_20k -name "*.npz" | tail -1)
+CKPT=$(ls -t ./log/synthetic_demo_r3_20k/*/ckpt_final.npz 2>/dev/null | head -1)
+[ -z "$CKPT" ] && CKPT=$(find ./log/synthetic_demo_r3_20k -name "*.npz" -printf "%T@ %p\n" | sort -n | tail -1 | cut -d" " -f2-)
 echo "ckpt: $CKPT"
 python examples/relight_demo.py --ckpt "$CKPT" \
   --out ./log/relight_demo_r3 > /tmp/relight_r3.log 2>&1

@@ -168,6 +168,15 @@ def evaluation_iter(
             os.makedirs(os.path.join(save_path, sub), exist_ok=True)
 
     fast_knobs = dict(FAST_MARCH_KNOBS) if fast_march else {}
+    if fast_march:
+        # same conservativeness contract the train loop and the relight
+        # pipeline enforce, checked against THIS checkpoint's (possibly
+        # shrunk) aabb — fast_march is an explicit opt-in, so a violation
+        # raises rather than silently light-leaking
+        F.check_march_contract(
+            np.asarray(scene["aabb"]),
+            prepass_n=FAST_MARCH_KNOBS["second_prepass_n"],
+            dilate=FAST_MARCH_KNOBS["coarse_dilate"])
     chunk_fn, chunk = make_eval_chunk_fn(
         cfg, n_samples=n_samples, chunk=chunk, white_bg=white_bg,
         app_cap=app_cap, relight_ray_cap=relight_ray_cap,
@@ -395,6 +404,19 @@ def evaluation_path(
     for sub in ("rgb", "brdf", "normal"):
         os.makedirs(os.path.join(save_path, sub), exist_ok=True)
 
+    if fast_march:
+        # GT-free video mode: on a contract violation (e.g. an aabb shrunk
+        # past the canonical prepass margin) fall back to the exact march
+        # with a warning instead of failing the whole video job
+        try:
+            F.check_march_contract(
+                np.asarray(scene["aabb"]),
+                prepass_n=FAST_MARCH_KNOBS["second_prepass_n"],
+                dilate=FAST_MARCH_KNOBS["coarse_dilate"])
+        except ValueError as e:
+            print(f"[path] fast march contract violated ({e}); "
+                  "falling back to the exact march")
+            fast_march = False
     fast_knobs = dict(FAST_MARCH_KNOBS) if fast_march else {}
     chunk_fn, chunk = make_eval_chunk_fn(
         cfg, n_samples=n_samples, chunk=chunk,

@@ -33,20 +33,37 @@ from typing import Dict, Optional, Tuple
 # Sources: cloud.google.com/tpu/docs system-architecture tables (v4/v5e/
 # v5p/v6e); values are per chip.
 TPU_PEAKS = {
+    # order matters: first substring match wins (most specific first)
     "v6e": (918e12, 1640e9),
     "v6": (918e12, 1640e9),
     "v5p": (459e12, 2765e9),
-    "v5e": (197e12, 819e9),
     "v5litepod": (197e12, 819e9),
+    "v5lite": (197e12, 819e9),   # v5e reports device_kind "TPU v5 lite"
+    "v5e": (197e12, 819e9),
     "v4": (275e12, 1228e9),
 }
 DEFAULT_PEAKS = ("v5e (assumed)", 197e12, 819e9)
 
 # Measured XLA row rates on 1x v5e through the axon tunnel (CLAUDE.md,
-# scalar-synced isolated ablations, round 1-2). Rows/s, width-independent.
-GATHER_ROWS_PER_S = 84e6          # small tables (<~30MB)
-GATHER_ROWS_PER_S_BIG = 46e6     # big tables (~127MB)
+# scalar-synced isolated ablations, round 1-2). Rows/s, width-independent,
+# but table-SIZE dependent: ~84M rows/s for small tables, ~71M at a ~33MB
+# coarse bake (field.py:_bake_masked_dense measurement note), ~46M at a
+# 127MB table.
+GATHER_ROWS_PER_S = 84e6          # small tables (<~20MB)
+GATHER_ROWS_PER_S_MID = 71e6     # ~20-100MB tables (128^3 bf16 bake)
+GATHER_ROWS_PER_S_BIG = 46e6     # >~100MB tables
 SCATTER_ROWS_PER_S = 15e6        # add-scatter VJP, mid of 11-20M band
+
+
+def gather_rate_for_table(table_bytes: float) -> float:
+    """Measured gather row rate as a function of table size (anchors
+    above; step function between the measured points)."""
+    mb = table_bytes / 1e6
+    if mb > 100.0:
+        return GATHER_ROWS_PER_S_BIG
+    if mb > 20.0:
+        return GATHER_ROWS_PER_S_MID
+    return GATHER_ROWS_PER_S
 
 
 def device_peaks(device) -> Tuple[str, float, float]:
@@ -83,11 +100,15 @@ def compiled_cost(jitted_fn, *args, **kwargs) -> Optional[Dict[str, float]]:
 class StepRows:
     """Analytic gather/scatter row counts for one training step."""
     gather_rows: float           # small-table gather rows (fwd, no-grad ok)
+    window_rows: float           # fine-march rows on the big baked table
+    window_table_bytes: float    # size of that table (sets its gather rate)
     scatter_rows: float          # VJP scatter-add rows (differentiable path)
     breakdown: Dict[str, float]
 
     def predicted_step_s(self) -> float:
         return (self.gather_rows / GATHER_ROWS_PER_S
+                + self.window_rows
+                / gather_rate_for_table(self.window_table_bytes)
                 + self.scatter_rows / SCATTER_ROWS_PER_S)
 
 
@@ -106,6 +127,8 @@ def gather_rows_per_step(
     prepass_n: int,
     second_app_cap: int = 16,
     app_bake: bool = True,
+    bake_reso: int = 128,
+    bake_bytes_per_val: int = 2,   # the packed sigma bake is bf16
 ) -> StepRows:
     """Dominant gather/scatter row counts of one train step.
 
@@ -119,14 +142,19 @@ def gather_rows_per_step(
     b = {}
 
     # --- primary (differentiable) ---
-    # occupancy-mask nearest test, dense over the march (no-grad)
-    b["primary_mask_march"] = batch * n_samples
-    # density factors on the culled samples: 3 packed plane rows per sample
-    # (grouped: one 16-corner block row per group of g)
-    prim_density = batch * (march_cap // g) * 3
+    culled = 0 < march_cap < n_samples
+    cap_eff = march_cap if culled else n_samples
+    if culled:
+        # occupancy-mask nearest test, dense over the march (no-grad)
+        b["primary_mask_march"] = batch * n_samples
+    else:  # dense march: no selection pass, but the trilinear mask is dense
+        b["primary_mask_march"] = 0
+    # density factors on the (possibly culled) samples: 3 packed plane rows
+    # per sample (grouped: one 16-corner block row per group of g)
+    prim_density = batch * (cap_eff // g) * 3
     b["primary_density_fwd"] = prim_density
-    # trilinear alpha-mask re-check on selected samples (no-grad)
-    b["primary_mask_exact"] = batch * march_cap
+    # trilinear alpha-mask check on the marched samples (no-grad)
+    b["primary_mask_exact"] = batch * cap_eff
     # appearance + intrinsic + jittered intrinsic on app_cap samples:
     # 3 plane rows each for rad / intr / intr_jittered
     prim_app = batch * app_cap * 3 * 3
@@ -149,10 +177,17 @@ def gather_rows_per_step(
     app_pairs = n_tiles * pair_cap
     b["secondary_app"] = app_pairs * second_app_cap * (1 if app_bake else 3)
 
-    no_grad = (b["primary_mask_march"] + b["primary_mask_exact"]
-               + b["secondary_prepass"] + b["secondary_window_march"]
-               + b["secondary_app"] + prim_density + prim_app)
-    return StepRows(gather_rows=float(no_grad),
+    # the window march gathers from the corner-packed sigma bake — a table
+    # big enough ((reso-1)^3 x 8 values) to sit in the measured mid/big-
+    # table gather-rate regime; everything else reads small tables
+    window_rows = float(b["secondary_window_march"])
+    table_bytes = float((bake_reso - 1) ** 3 * 8 * bake_bytes_per_val)
+    small = (b["primary_mask_march"] + b["primary_mask_exact"]
+             + b["secondary_prepass"] + b["secondary_app"]
+             + prim_density + prim_app)
+    return StepRows(gather_rows=float(small),
+                    window_rows=window_rows,
+                    window_table_bytes=table_bytes,
                     scatter_rows=float(scatter),
                     breakdown={k: float(v) for k, v in b.items()})
 

@@ -20,9 +20,26 @@ def test_gather_rows_breakdown_matches_total():
     assert b["primary_density_fwd"] == 4096 * 192 * 3
     # scatter rows = differentiable forward gather rows (density + app VJP)
     assert rows.scatter_rows == b["primary_density_fwd"] + b["primary_app_fwd"]
+    # window rows are priced separately (big baked table, slower gather)
+    assert rows.window_rows == b["secondary_window_march"]
     assert rows.gather_rows == sum(
-        v for k, v in b.items() if k != "primary_vjp_scatter")
+        v for k, v in b.items()
+        if k not in ("primary_vjp_scatter", "secondary_window_march"))
+    # 128^3 bf16 corner-packed bake = ~33MB -> mid-table gather rate
+    assert 20e6 < rows.window_table_bytes < 100e6
     assert rows.predicted_step_s() > 0
+
+
+def test_dense_march_rows_when_cap_exceeds_samples():
+    """CPU-smoke configs disable the cull (march_cap >= n_samples); the
+    model must charge the dense march, not the fictional culled one."""
+    rows = CM.gather_rows_per_step(
+        batch=256, n_samples=64, march_cap=192, march_group=1, app_cap=8,
+        relight_cap=64, n_dirs=32, compact_frac=0.0, tile=1024,
+        window=8, prepass_n=4)
+    assert rows.breakdown["primary_mask_march"] == 0
+    assert rows.breakdown["primary_density_fwd"] == 256 * 64 * 3
+    assert rows.breakdown["primary_mask_exact"] == 256 * 64
 
 
 def test_grouping_divides_density_rows():

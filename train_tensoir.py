@@ -99,7 +99,9 @@ def render_orbit_path(cfg, fcfg, params, scene, n_samples, logfolder):
         save_path=os.path.join(logfolder, "imgs_path_all"),
         chunk=cfg.batch_size_test, second_n_sample=cfg.second_nSample,
         secondary_tile=cfg.secondary_tile,
-        fast_march=bool(cfg.eval_fast), ndc_ray=bool(cfg.ndc_ray))
+        # GT-free orbit video: fast march on by default (evaluation_path's
+        # own default) — there is nothing to compare exactly against
+        ndc_ray=bool(cfg.ndc_ray))
     print(f"======> {cfg.expname} path: {n} frames -> imgs_path_all")
 
 
@@ -157,6 +159,7 @@ def main(argv=None):
                 n_samples=n_samples,
                 save_path=os.path.join(logfolder, "imgs_train_all"),
                 chunk=cfg.batch_size_test, test_all=True,
+                compute_extra_metrics=False,
                 second_n_sample=cfg.second_nSample,
                 secondary_tile=cfg.secondary_tile,
                 fast_march=bool(cfg.eval_fast),
