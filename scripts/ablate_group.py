@@ -100,6 +100,26 @@ def main():
 
     for name, over in variants:
         st = StepStatic(**{**base, **over})
+        # the train loop enforces the grouped-march contracts at phase
+        # build and downgrades; direct StepStatic users must check too —
+        # round-3 postmortem: an A/B timed g4 at group_bake 96 where the
+        # group span (3 fine steps) exceeds the 96^3 cell, i.e. the
+        # 27-corner block silently dropped weights (loss was off in the
+        # 5th decimal). Refuse to time illegal combos.
+        if st.second_march_group > 1:
+            from tensoir_tpu.models import field as F
+            gb = st.group_bake_reso or st.secondary_bake_reso or GRID
+            cells = min(GRID, gb) - 1
+            try:
+                F.check_pair_contract(
+                    np.asarray(scene["aabb"]), (cells - 1,) * 3,
+                    n_sample=st.second_n_sample,
+                    group=st.second_march_group)
+            except ValueError as e:
+                print(json.dumps({"variant": name,
+                                  "skipped": f"contract: {e}"[:200]}),
+                      flush=True)
+                continue
         step_fn = make_train_step(cfg, optimizer, st, w, donate=False)
         m = step_fn(params, opt_state, scene, batch, key, jnp.asarray(0))[2]
         float(m["total_loss"])  # sync after compile+warmup
