@@ -87,6 +87,12 @@ def main():
         # grouped PRIMARY march (exact by construction; tests/
         # test_grouped_primary.py) — alone, on the adopted ab64 canonical,
         # and on top of the (gate-rejected) full r2 A/B winner
+        # round-3 profile follow-up: the secondary app stage costs ~21 ms
+        # per app sample (~100x its gather+MLP cost) — suspected per-tile
+        # kernel-sequencing overhead in the 36-iteration lax.map. Bigger
+        # tiles halve the serial iterations at the same row count.
+        "t64k_ab64": {"secondary_tile": 65536, "app_bake_reso": 64},
+        "t128k_ab64": {"secondary_tile": 131072, "app_bake_reso": 64},
         "pg4": {"march_group": 4},
         "ab64_pg4": {"app_bake_reso": 64, "march_group": 4},
         "g4_gb64_ab64_pg4": {"second_march_group": 4, "group_bake_reso": 64,
