@@ -93,6 +93,9 @@ def main():
         # tiles halve the serial iterations at the same row count.
         "t64k_ab64": {"secondary_tile": 65536, "app_bake_reso": 64},
         "t128k_ab64": {"secondary_tile": 131072, "app_bake_reso": 64},
+        "hoist_ab64": {"app_bake_reso": 64, "secondary_app_hoist": True},
+        "hoist_t64k_ab64": {"app_bake_reso": 64, "secondary_app_hoist": True,
+                            "secondary_tile": 65536},
         "pg4": {"march_group": 4},
         "ab64_pg4": {"app_bake_reso": 64, "march_group": 4},
         "g4_gb64_ab64_pg4": {"second_march_group": 4, "group_bake_reso": 64,

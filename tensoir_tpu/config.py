@@ -202,6 +202,10 @@ class TensoIRConfig:
     # one row gather per app sample instead of three packed plane gathers);
     # 0 = exact VM query.
     app_bake_reso: int = 0
+    # Global (cross-tile) secondary appearance stage: hoists the app
+    # gather+MLP out of the per-tile lax.map into one 36x-bigger batch
+    # (exact; tests/test_eval_fast_march.py::test_secondary_app_hoist_exact)
+    secondary_app_hoist: int = 0
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

@@ -83,6 +83,7 @@ def render_with_brdf(
     second_march_group: int = 0,
     group_bake_reso: int = 0,
     app_bake_reso: int = 0,
+    secondary_app_hoist: bool = False,
     use_linear2srgb: bool = True,
 ) -> jax.Array:
     """Physically-based RGB per ray [P, 3] (relight_utils.py:403-483)."""
@@ -115,7 +116,8 @@ def render_with_brdf(
         compact_frac=secondary_compact_frac,
         march_group=second_march_group,
         group_bake_reso=group_bake_reso,
-        app_bake_reso=app_bake_reso)
+        app_bake_reso=app_bake_reso,
+        app_hoist=secondary_app_hoist)
 
     specular = ggx_specular(normal_map, surf2c, surf2l, roughness_map,
                             fresnel_map)                        # [P, L, 3]

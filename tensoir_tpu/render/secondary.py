@@ -151,8 +151,19 @@ def compute_radiance(
     window_back: int = 0,
     prepass_n: int = 18,
     pair_select: str = "compact",
+    return_app_payload: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """March a secondary ray: (nerv_vis, nerfactor_vis, indirect_light).
+
+    With return_app_payload=True the appearance stage is NOT evaluated
+    here; the third return value is instead the dict of selected app
+    inputs (pts/weights/dirs/light idx/pair idx) so the caller can run ONE
+    global appearance batch across all tiles (secondary_shading_tiled's
+    app-hoist mode): the per-tile lax.map body then contains only the
+    march, and the appearance kernels run once at 36x the size instead of
+    as 36 small sequenced instances (round-3 profile: the app stage costs
+    21.4 ms per app sample ≈ 100x its gather+MLP cost — per-tile kernel
+    sequencing is the prime suspect, BASELINE.md).
 
     Matches relight_utils.py:777-834: sigma march in [vis_near, vis_far],
     visibility = final transmittance ('nerv') or 1-acc ('nerfactor'),
@@ -236,6 +247,19 @@ def compute_radiance(
         pts_sel = sub_coords
         w_sel = sub_w
 
+    acc = jnp.sum(weight, -1)
+    nerv_vis = transmittance[..., 0]
+    nerfactor_vis = 1.0 - acc
+    if return_app_payload:
+        payload = {
+            "pts_sel": pts_sel, "w_sel": w_sel,
+            "dirs": sub_dirs, "lidx": sub_lidx,
+            "pair_idx": (pair_idx if pair_idx is not None
+                         else jnp.arange(N, dtype=jnp.int32)),
+            "pair_valid": pair_valid,
+        }
+        return nerv_vis, nerfactor_vis, payload
+
     vdirs = jnp.broadcast_to(sub_dirs[:, None, :], pts_sel.shape)
     lidx = jnp.broadcast_to(sub_lidx[:, None], pts_sel.shape[:2])
 
@@ -256,10 +280,46 @@ def compute_radiance(
     else:
         indirect = sub_indirect
 
-    acc = jnp.sum(weight, -1)
-    nerv_vis = transmittance[..., 0]
-    nerfactor_vis = 1.0 - acc
     return nerv_vis, nerfactor_vis, indirect
+
+
+def _app_stage_global(cfg: F.FieldConfig, params: Dict, payload: Dict,
+                      app_baked, tile: int) -> jax.Array:
+    """Global appearance batch over ALL tiles' selected pairs.
+
+    Same math as compute_radiance's in-tile app stage (one app-feature
+    query + shade_radiance per selected sample, weight-composited per
+    pair) but evaluated ONCE on the stacked [T, pair_cap, k, ...] payload
+    — identical results, 36x fewer (and 36x bigger) kernels. Returns the
+    per-tile indirect light [T, tile, 3] scattered back through each
+    tile's pair_idx.
+    """
+    pts_sel = payload["pts_sel"]                 # [T, cap, k, 3]
+    w_sel = payload["w_sel"]                     # [T, cap, k]
+    dirs = payload["dirs"]                       # [T, cap, 3]
+    lidx = payload["lidx"]                       # [T, cap]
+    pair_idx = payload["pair_idx"]               # [T, cap]
+    pair_valid = payload["pair_valid"]           # [T, cap]
+    T, cap, k, _ = pts_sel.shape
+
+    pts = pts_sel.reshape(T * cap, k, 3)
+    vdirs = jnp.broadcast_to(dirs.reshape(T * cap, 1, 3), pts.shape)
+    li = jnp.broadcast_to(lidx.reshape(T * cap, 1), (T * cap, k))
+    if app_baked is not None:
+        app_grid, app_cells = app_baked
+        feat = F.app_feature_baked(app_grid, app_cells, pts, li)
+    else:
+        feat = F.app_feature(cfg, params, pts, li)
+    rgb = primary.shade_radiance(cfg, params, pts, vdirs, feat)
+    sub_ind = (jnp.sum(w_sel.reshape(T * cap, k)[..., None] * rgb, axis=-2)
+               .reshape(T, cap, 3) * pair_valid[..., None])
+
+    # scatter back per tile; pair_idx == tile marks unfilled slots (out of
+    # range for axis size `tile` -> dropped)
+    ind = jnp.zeros((T, tile, 3), sub_ind.dtype)
+    rows = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                            (T, cap))
+    return ind.at[rows, pair_idx].set(sub_ind, mode="drop")
 
 
 def compute_transmittance(
@@ -340,6 +400,7 @@ def secondary_shading_tiled(
     march_group: int = 0,
     group_bake_reso: int = 0,
     app_bake_reso: int = 0,
+    app_hoist: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -453,7 +514,28 @@ def secondary_shading_tiled(
         mf = m.astype(nerv.dtype)
         return nerv * mf, ind * mf[..., None]
 
-    vis, ind = jax.lax.map(one_tile, (pts, dirs, lidx, mask))
+    def one_tile_march(args):
+        # app-hoist mode: the map body marches only; the appearance stage
+        # runs ONCE globally below (round-3 profile: per-tile app kernels
+        # cost ~100x their compute — BASELINE.md phase table)
+        p, d, li, m = args
+        nerv, _, payload = compute_radiance(
+            cfg, params, scene, p, d, li,
+            n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
+            app_cap=app_cap, app_pair_cap=app_pair_cap,
+            march_cap=march_cap, baked=baked, coarse=coarse,
+            baked27=baked27, march_group=max(march_group, 2),
+            app_baked=app_baked,
+            window=window, window_back=window_back, prepass_n=prepass_n,
+            return_app_payload=True)
+        return nerv * m.astype(nerv.dtype), payload
+
+    if app_hoist:
+        vis, payload = jax.lax.map(one_tile_march, (pts, dirs, lidx, mask))
+        ind = _app_stage_global(cfg, params, payload, app_baked, tile)
+        ind = ind * mask.astype(ind.dtype)[..., None]
+    else:
+        vis, ind = jax.lax.map(one_tile, (pts, dirs, lidx, mask))
     if compact:
         vis_c = vis.reshape(-1)
         ind_c = ind.reshape(-1, 3)

@@ -46,6 +46,7 @@ def render_train_batch(
     second_march_group: int = 0,
     group_bake_reso: int = 0,
     app_bake_reso: int = 0,
+    secondary_app_hoist: bool = False,
     ndc_ray: bool = False,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
@@ -112,6 +113,7 @@ def render_train_batch(
         second_march_group=second_march_group,
         group_bake_reso=group_bake_reso,
         app_bake_reso=app_bake_reso,
+        secondary_app_hoist=secondary_app_hoist,
     )
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)
 

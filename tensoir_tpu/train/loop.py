@@ -350,6 +350,7 @@ def reconstruction(
             second_march_group=eff_group,
             group_bake_reso=cfg.group_bake_reso,
             app_bake_reso=cfg.app_bake_reso,
+            secondary_app_hoist=bool(cfg.secondary_app_hoist),
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,

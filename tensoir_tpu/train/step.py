@@ -65,6 +65,7 @@ class StepStatic:
     second_march_group: int = 0       # grouped fine march (0=off, 2/4)
     group_bake_reso: int = 0          # 27-pack bake reso (0 = bake_reso)
     app_bake_reso: int = 0            # baked secondary app feature (0=off)
+    secondary_app_hoist: bool = False  # global (cross-tile) app stage
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
     second_n_sample: int = 96
@@ -97,6 +98,7 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         second_march_group=st.second_march_group,
         group_bake_reso=st.group_bake_reso,
         app_bake_reso=st.app_bake_reso,
+        secondary_app_hoist=st.secondary_app_hoist,
         ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,
         second_n_sample=st.second_n_sample, second_near=st.second_near,

@@ -121,3 +121,37 @@ def test_evaluation_path_renders_orbit(tmp_path):
     vids = [f for f in os.listdir(out_dir)
             if f.endswith((".mp4", ".gif"))]
     assert len(vids) == 3
+
+
+def test_secondary_app_hoist_exact():
+    """The global (cross-tile) appearance stage must reproduce the in-tile
+    app stage exactly: same selection, same math, only the batching and
+    scatter-back differ (render/secondary.py app_hoist)."""
+    import jax
+    import jax.numpy as jnp
+    from tensoir_tpu.render.secondary import secondary_shading_tiled
+
+    cfg, params, scene = _tiny_scene()
+    P, L = 48, 16
+    k = jax.random.PRNGKey(3)
+    pts = jax.random.uniform(k, (P, 3), minval=-0.4, maxval=0.4)
+    dirs = jax.random.normal(jax.random.fold_in(k, 1), (P, L, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    lidx = jnp.zeros((P,), jnp.int32)
+    mask = jax.random.uniform(jax.random.fold_in(k, 2), (P, L)) > 0.4
+
+    outs = {}
+    for hoist in (False, True):
+        for compact in (0.0, 0.75):
+            vis, ind = secondary_shading_tiled(
+                cfg, params, scene, pts, dirs, lidx, mask,
+                n_sample=24, vis_near=0.05, vis_far=1.5, tile=256,
+                app_cap=8, march_cap=12, use_baked=True, bake_reso=32,
+                window=8, window_back=4, prepass_n=8, coarse_dilate=2,
+                compact_frac=compact, app_bake_reso=32, app_hoist=hoist)
+            outs[(hoist, compact)] = (np.asarray(vis), np.asarray(ind))
+    for compact in (0.0, 0.75):
+        v0, i0 = outs[(False, compact)]
+        v1, i1 = outs[(True, compact)]
+        np.testing.assert_allclose(v1, v0, atol=1e-6)
+        np.testing.assert_allclose(i1, i0, atol=1e-6)
