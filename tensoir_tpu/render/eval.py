@@ -232,6 +232,7 @@ def evaluation_iter(
     psnrs, psnrs_brdf, ssims, ssims_brdf = [], [], [], []
     lpipss: Dict[str, list] = {}
     maes, albedo_single_sq, albedo_three_sq = [], [], []
+    albedo_ssims: Dict[str, list] = {}
     rgb_frames, brdf_frames, normal_frames = [], [], []
 
     for vi in range(num_test):
@@ -292,6 +293,17 @@ def evaluation_iter(
                 ((gt_albedo ** (1 / 2.2)) - (single ** (1 / 2.2))) ** 2)
             albedo_three_sq.append(
                 ((gt_albedo ** (1 / 2.2)) - (three ** (1 / 2.2))) ** 2)
+            if compute_extra_metrics:
+                # aligned-albedo SSIM + LPIPS, both alignments, on the
+                # linear aligned maps (renderer.py:315-321)
+                for tag, aligned in (("single", single), ("three", three)):
+                    albedo_ssims.setdefault(f"ssim_albedo_{tag}", []).append(
+                        M.rgb_ssim(aligned, gt_albedo))
+                    for net in ("alex", "vgg"):
+                        lp = M.rgb_lpips(gt_albedo, aligned, net)
+                        if lp is not None:
+                            albedo_ssims.setdefault(
+                                f"lpips_{net}_albedo_{tag}", []).append(lp)
 
         if save_path:
             depth_vis = M.visualize_depth(out["depth_map"].reshape(H, W),
@@ -341,6 +353,8 @@ def evaluation_iter(
             float(np.mean(np.stack(albedo_single_sq))))
         results["psnr_albedo_three"] = M.mse2psnr(
             float(np.mean(np.stack(albedo_three_sq))))
+    for k, v in albedo_ssims.items():
+        results[k] = float(np.mean(v))
 
     if logger is not None:
         logger.log(log_step, results, prefix="eval")
