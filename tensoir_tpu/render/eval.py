@@ -44,6 +44,7 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
                        second_prepass_n: int = 18, coarse_dilate: int = 2,
                        secondary_compact_frac: float = 0.0,
                        secondary_bake_reso: int = 0, app_bake_reso: int = 0,
+                       secondary_app_hoist: bool = False,
                        ndc_ray: bool = False):
     """Jitted fixed-size chunk renderer (eval: no jitter, fixed envmap dirs).
 
@@ -76,6 +77,7 @@ def make_eval_chunk_fn(cfg: F.FieldConfig, *, n_samples: int, chunk: int,
             secondary_compact_frac=secondary_compact_frac,
             secondary_bake_reso=secondary_bake_reso,
             app_bake_reso=app_bake_reso,
+            secondary_app_hoist=secondary_app_hoist,
             second_n_sample=second_n_sample, second_near=second_near,
             second_far=second_far, secondary_tile=secondary_tile,
             ndc_ray=ndc_ray)
