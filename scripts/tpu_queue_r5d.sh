@@ -13,6 +13,12 @@ ABLATE_ITERS=16 python scripts/ablate_group.py \
 echo "hoist A/B exit: $?"
 grep -h '"variant"' /tmp/ablate_hoist.log
 
+echo "=== [1b/6] XProf traces of the canonical step (app-stage ground truth)"
+python scripts/trace_step.py ./log/trace_r3 > /tmp/trace_r3.log 2>&1
+echo "trace exit: $?"
+python scripts/trace_step.py ./log/trace_r3_hoist hoist > /tmp/trace_r3b.log 2>&1
+echo "trace(hoist) exit: $?"
+
 echo "=== [2/6] relighting benchmark refresh on the 20k checkpoint"
 CKPT=$(ls -t ./log/synthetic_demo_r3_20k/ckpt_final.npz ./log/synthetic_demo_r3_20k/*/ckpt_final.npz 2>/dev/null | head -1)
 [ -z "$CKPT" ] && CKPT=$(find ./log/synthetic_demo_r3_20k -name "*.npz" -printf "%T@ %p\n" | sort -n | tail -1 | cut -d" " -f2-)
