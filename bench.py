@@ -145,14 +145,19 @@ def main():
     try:
         compiled = step_fn.lower(params, opt_state, scene, batch, key,
                                  jnp.asarray(0)).compile()
-        analysis = compiled.cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        if analysis:
-            xla = {"flops": float(analysis.get("flops", 0.0)),
-                   "bytes_accessed": float(analysis.get("bytes accessed",
-                                                        0.0))}
-        step_fn = compiled
+        step_fn = compiled  # keep the executable even if analysis fails:
+        # a re-trace through the jit path would be a SECOND full remote
+        # compile on the wedge-prone axon endpoint (CLAUDE.md)
+        try:
+            analysis = compiled.cost_analysis()
+            if isinstance(analysis, (list, tuple)):
+                analysis = analysis[0]
+            if analysis:
+                xla = {"flops": float(analysis.get("flops", 0.0)),
+                       "bytes_accessed": float(analysis.get(
+                           "bytes accessed", 0.0))}
+        except Exception:
+            pass  # cost fields omitted
     except Exception:
         pass  # fall back to the jit path; cost fields omitted
 

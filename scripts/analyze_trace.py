@@ -45,6 +45,9 @@ def main():
     proc_names = {e["pid"]: e["args"].get("name", "")
                   for e in ev if e.get("ph") == "M"
                   and e.get("name") == "process_name"}
+    thread_names = {(e["pid"], e.get("tid")): e["args"].get("name", "")
+                    for e in ev if e.get("ph") == "M"
+                    and e.get("name") == "thread_name"}
     device_pids = {p for p, n in proc_names.items() if "TPU" in n.upper()}
     if not device_pids:
         device_pids = {p for p, n in proc_names.items()
@@ -52,10 +55,19 @@ def main():
     if not device_pids:
         device_pids = set(proc_names)
 
+    # XProf device pids carry "XLA Modules" / "Steps" container tracks
+    # alongside "XLA Ops" — summing all of them double-counts every kernel
+    # (a 30 ms step shows up once as the module event and again as its
+    # ops). Restrict to the op-level threads when they exist.
+    op_tids = {(p, t) for (p, t), n in thread_names.items()
+               if p in device_pids and "XLA Ops" in n}
+
     total = collections.Counter()
     count = collections.Counter()
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "")
         if name.startswith("$"):   # python host frames

@@ -38,7 +38,12 @@ def main():
                                 img_wh=(img, img))
 
     for ckpt in sys.argv[1:]:
-        fcfg, params, scene, extra = load_checkpoint(ckpt)
+        try:
+            fcfg, params, scene, extra = load_checkpoint(ckpt)
+        except Exception as e:  # one missing ckpt must not kill the series
+            print(json.dumps({"ckpt": os.path.basename(ckpt),
+                              "skipped": str(e)}), flush=True)
+            continue
         n_samples = min(1_000_000, cal_n_samples(grid_size_of(params), 0.5))
         t0 = time.time()
         r = evaluation_iter(

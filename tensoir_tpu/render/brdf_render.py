@@ -105,6 +105,17 @@ def render_with_brdf(
     cosine = jnp.clip(jnp.einsum("plk,pk->pl", surf2l, normal_map), 0.0, None)
     cosine_mask = cosine > 1e-6
 
+    if sample_method == "importance_sample":
+        # Importance dirs concentrate around the learned light lobe, so the
+        # cosine-valid pair fraction is NOT bounded near the ~0.5 that
+        # grid/stratified lat-long dir sets guarantee (a tight lobe over a
+        # facing surface validates nearly every pair). The hemisphere-pair
+        # compaction capacity contract (secondary_compact_frac, tuned at
+        # 0.5625 for lat-long sets) therefore does not hold — overflowed
+        # pairs would silently get vis=0/indirect=0 and bias the MC
+        # estimator dark. Run this mode uncompacted.
+        secondary_compact_frac = 0.0
+
     visibility, indirect = secondary_shading_tiled(
         cfg, params, scene, surface_xyz, surf2l, light_idx, cosine_mask,
         n_sample=second_n_sample, vis_near=second_near, vis_far=second_far,

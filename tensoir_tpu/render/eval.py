@@ -159,8 +159,10 @@ def evaluation_iter(
     GT the dataset lacks are omitted (the _simple variant's behavior).
     fast_march=True renders with the canonical fast secondary march
     (FAST_MARCH_KNOBS) instead of the exact full march — flag-gated, like
-    relight_pipeline's fast_vis; verified PSNR-neutral to reported precision
-    in tests/test_eval_fast_march.py.
+    relight_pipeline's fast_vis. NOT metric-neutral: on-chip verification
+    against a fast-trained checkpoint read BRDF PSNR +4.2 dB HIGHER under
+    the fast forward (forward-model match, BASELINE.md) — keep default-off
+    for any reported/protocol metric; use it for previews and GT-free paths.
     """
     import imageio.v2 as imageio
 

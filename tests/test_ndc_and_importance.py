@@ -218,3 +218,51 @@ def test_importance_sampling_reaches_train_step():
     from tensoir_tpu.render.brdf_render import incident_light_dirs
     with pytest.raises(ValueError):
         incident_light_dirs(cfg, "no_such_mode", jax.random.PRNGKey(0))
+
+
+def test_importance_sampling_ignores_pair_compaction():
+    """Importance-sampled dirs concentrate near the light lobe, so the
+    cosine-valid pair fraction is unbounded above the ~0.5 that lat-long
+    dir sets guarantee — render_with_brdf must force the hemisphere-pair
+    compaction OFF for this mode (overflowed pairs silently zero
+    vis/indirect and bias the MC estimator dark)."""
+    from tensoir_tpu.render.brdf_render import render_with_brdf
+
+    cfg = FieldConfig(
+        density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4), app_dim=6,
+        shading_mode="MLP_Fea", normals_kind="purely_derived",
+        light_kind="sg", num_sgs=16, envmap_h=8, envmap_w=16,
+        feature_c=32, step_ratio=2.0)
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    params, scene = init_field_params(
+        jax.random.PRNGKey(0), cfg, (16, 16, 16), aabb)
+    # tight lobe straight up: every dir lands cosine-valid for an upward
+    # surface — the exact configuration that overflows a 0.5625 cap
+    sgs = np.zeros_like(np.array(params["lgt_sgs"]))
+    sgs[0] = [0.0, 0.0, 1.0, 30.0, 2.0, 2.0, 2.0]
+    params = dict(params)
+    params["lgt_sgs"] = jnp.asarray(sgs)
+
+    P = 8
+    rays_d = np.array([[0.0, 0.0, -1.0]] * P, np.float32)
+    rays_o = np.array([[0.0, 0.0, 3.0]] * P, np.float32)
+    rays = jnp.asarray(np.concatenate([rays_o, rays_d], -1))
+    depth = jnp.full((P,), 3.0)
+    normal = jnp.asarray(np.tile([0.0, 0.0, 1.0], (P, 1)).astype(np.float32))
+    albedo = jnp.full((P, 3), 0.5)
+    rough = jnp.full((P, 1), 0.5)
+    fresnel = jnp.full((P, 3), 0.04)
+    lidx = jnp.zeros((P,), jnp.int32)
+
+    common = dict(second_n_sample=16, secondary_tile=512,
+                  second_march_cap=8, use_linear2srgb=False,
+                  sample_method="importance_sample",
+                  key=jax.random.PRNGKey(7))
+    uncompacted = render_with_brdf(cfg, params, scene, depth, normal,
+                                   albedo, rough, fresnel, rays, lidx,
+                                   secondary_compact_frac=0.0, **common)
+    compacted = render_with_brdf(cfg, params, scene, depth, normal,
+                                 albedo, rough, fresnel, rays, lidx,
+                                 secondary_compact_frac=0.5625, **common)
+    np.testing.assert_array_equal(np.asarray(uncompacted),
+                                  np.asarray(compacted))
