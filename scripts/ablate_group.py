@@ -100,6 +100,26 @@ def main():
         "ab64_pg4": {"app_bake_reso": 64, "march_group": 4},
         "g4_gb64_ab64_pg4": {"second_march_group": 4, "group_bake_reso": 64,
                              "app_bake_reso": 64, "march_group": 4},
+        # round-3 trace follow-up (log/trace_r3, BASELINE.md): the app
+        # stage is ROW-COUNT bound at the gather roofline, not
+        # sequencing-bound — cut app rows. stats reports the cap
+        # occupancancy/overflow telemetry; a tightened-cap variant whose
+        # overflow stays 0 and whose loss matches canonical bit-for-bit
+        # is EXACT on this scene (same pairs, same slots, zero-padded
+        # float sums) — adoption then needs no quality gate.
+        "stats_ab64": {"app_bake_reso": 64, "secondary_stats": True},
+        "acap8_ab64": {"app_bake_reso": 64, "second_app_cap": 8,
+                       "secondary_stats": True},
+        "pf25_ab64": {"app_bake_reso": 64, "app_pair_frac": 0.25,
+                      "secondary_stats": True},
+        "pf12_ab64": {"app_bake_reso": 64, "app_pair_frac": 0.125,
+                      "secondary_stats": True},
+        "acap8_pf25_ab64": {"app_bake_reso": 64, "second_app_cap": 8,
+                            "app_pair_frac": 0.25, "secondary_stats": True},
+        "acap8_pf12_ab64": {"app_bake_reso": 64, "second_app_cap": 8,
+                            "app_pair_frac": 0.125,
+                            "secondary_stats": True},
+        "p8_ab64": {"app_bake_reso": 64, "second_prepass_n": 8},
     }
     import sys
     names = sys.argv[1:] or list(all_variants)[:8]
@@ -139,6 +159,11 @@ def main():
         loss = float(m["total_loss"])  # host sync
         ms = (time.perf_counter() - t0) / n_iters * 1e3
         rec = {"variant": name, "ms": round(ms, 1), "loss": round(loss, 6)}
+        for sk in ("sec/app_pair_overflow_frac", "sec/app_pair_occupancy",
+                   "sec/app_slot_occupancy", "sec/compact_overflow_frac",
+                   "sec/app_slot_demand_max", "sec/app_slot_overflow_pairs"):
+            if sk in m:
+                rec[sk.split("/", 1)[1]] = round(float(m[sk]), 6)
         if "march_overflow_frac" in m:
             # exactness monitor for march_group (ADVICE r2): grouped
             # selection keeps cap/g occupied GROUPS, so overflow means up to

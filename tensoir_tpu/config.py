@@ -206,6 +206,14 @@ class TensoIRConfig:
     # gather+MLP out of the per-tile lax.map into one 36x-bigger batch
     # (exact; tests/test_eval_fast_march.py::test_secondary_app_hoist_exact)
     secondary_app_hoist: int = 0
+    # App samples evaluated per selected secondary pair (top-k by weight;
+    # the reference evaluates every weight>thres sample,
+    # relight_utils.py:822-825 — this is the fixed-capacity analog).
+    second_app_cap: int = 16
+    # Per-tile cap on pairs that reach the app stage, as a fraction of the
+    # tile (0 = auto: tile/2 compacted, tile/4 dense). Telemetry for
+    # tightening: sec/app_pair_occupancy + sec/app_pair_overflow_frac.
+    app_pair_frac: float = 0.0
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

@@ -84,6 +84,9 @@ def render_with_brdf(
     group_bake_reso: int = 0,
     app_bake_reso: int = 0,
     secondary_app_hoist: bool = False,
+    second_app_cap: int = 16,
+    app_pair_frac: float = 0.0,
+    return_secondary_stats: bool = False,
     use_linear2srgb: bool = True,
 ) -> jax.Array:
     """Physically-based RGB per ray [P, 3] (relight_utils.py:403-483)."""
@@ -116,10 +119,11 @@ def render_with_brdf(
         # estimator dark. Run this mode uncompacted.
         secondary_compact_frac = 0.0
 
-    visibility, indirect = secondary_shading_tiled(
+    sec = secondary_shading_tiled(
         cfg, params, scene, surface_xyz, surf2l, light_idx, cosine_mask,
         n_sample=second_n_sample, vis_near=second_near, vis_far=second_far,
         tile=secondary_tile, march_cap=second_march_cap,
+        app_cap=second_app_cap,
         use_baked=secondary_use_baked, bake_reso=secondary_bake_reso,
         window=second_window, window_back=second_window_back,
         prepass_n=second_prepass_n,
@@ -128,7 +132,11 @@ def render_with_brdf(
         march_group=second_march_group,
         group_bake_reso=group_bake_reso,
         app_bake_reso=app_bake_reso,
-        app_hoist=secondary_app_hoist)
+        app_hoist=secondary_app_hoist,
+        app_pair_frac=app_pair_frac,
+        return_stats=return_secondary_stats)
+    visibility, indirect = sec[0], sec[1]
+    sec_stats = sec[2] if return_secondary_stats else None
 
     specular = ggx_specular(normal_map, surf2c, surf2l, roughness_map,
                             fresnel_map)                        # [P, L, 3]
@@ -160,4 +168,6 @@ def render_with_brdf(
     rgb = jnp.clip(rgb, 0.0, 1.0)
     if use_linear2srgb:
         rgb = linear2srgb(rgb)
+    if return_secondary_stats:
+        return rgb, sec_stats
     return rgb

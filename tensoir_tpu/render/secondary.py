@@ -152,6 +152,8 @@ def compute_radiance(
     prepass_n: int = 18,
     pair_select: str = "compact",
     return_app_payload: bool = False,
+    return_stats: bool = False,
+    pair_ok: "jax.Array | None" = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """March a secondary ray: (nerv_vis, nerfactor_vis, indirect_light).
 
@@ -216,6 +218,12 @@ def compute_radiance(
     # Stage 2 (sample level): per selected pair, top app_cap samples.
     N, S = sigma.shape
     masked_w = jnp.where(weight > cfg.raymarch_weight_thres, weight, 0.0)
+    if pair_ok is not None:
+        # tile-padding / compaction-junk pairs march anyway (static shapes)
+        # but must not claim app pair-cap slots: their results are masked by
+        # the caller, so letting them through only burns capacity (and can
+        # overflow REAL pairs out of the cap)
+        masked_w = jnp.where(pair_ok[:, None], masked_w, 0.0)
 
     pair_cap = app_pair_cap if 0 < app_pair_cap < N else N
     if pair_cap < N:
@@ -279,6 +287,30 @@ def compute_radiance(
             sub_indirect, mode="drop")
     else:
         indirect = sub_indirect
+
+    if return_stats:
+        # cap-occupancy telemetry (drives the app_pair_frac /
+        # second_app_cap tightening decisions — BASELINE.md round-3 trace):
+        #   valid_pairs  pairs with ANY weight > thres (pre pair-cap)
+        #   kept_pairs   pairs that made it into the app stage
+        #   valid_slots  nonzero w_sel slots among kept pairs (of k each)
+        valid_pairs = jnp.sum((jnp.max(masked_w, axis=1) > 0.0)
+                              .astype(jnp.float32))
+        kept_pairs = jnp.sum(pair_valid.astype(jnp.float32))
+        valid_slots = jnp.sum((w_sel > 0.0).astype(jnp.float32))
+        # per-pair slot DEMAND, measured before the top-k cut (independent
+        # of k): the honest signal for tightening second_app_cap — if no
+        # kept pair demands more than k' slots, k' is bit-exact
+        demand = jnp.sum((sub_w > 0.0).astype(jnp.int32), axis=1)
+        demand = jnp.where(pair_valid, demand, 0)
+        stats = {"valid_pairs": valid_pairs, "kept_pairs": kept_pairs,
+                 "valid_slots": valid_slots,
+                 "slot_demand_max": jnp.max(demand).astype(jnp.float32),
+                 "slot_overflow_pairs": jnp.sum(
+                     (demand > k).astype(jnp.float32)),
+                 "pair_cap": jnp.float32(pair_cap),
+                 "slot_cap": jnp.float32(k)}
+        return nerv_vis, nerfactor_vis, indirect, stats
 
     return nerv_vis, nerfactor_vis, indirect
 
@@ -401,6 +433,8 @@ def secondary_shading_tiled(
     group_bake_reso: int = 0,
     app_bake_reso: int = 0,
     app_hoist: bool = False,
+    app_pair_frac: float = 0.0,
+    return_stats: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -474,6 +508,7 @@ def secondary_shading_tiled(
 
     total = P * L
     compact = 0.0 < compact_frac < 1.0
+    n_valid_in = jnp.sum(mask.astype(jnp.float32)) if return_stats else None
     if compact:
         # hemisphere-pair compaction: march only cosine-valid pairs
         cap = -(-int(total * compact_frac) // tile) * tile
@@ -487,6 +522,8 @@ def secondary_shading_tiled(
     else:
         n_rows = total
         app_pair_cap = tile // 4
+    if 0.0 < app_pair_frac <= 1.0:
+        app_pair_cap = max(1, int(tile * app_pair_frac))
 
     n_tiles = -(-n_rows // tile)
     pad = n_tiles * tile - n_rows
@@ -503,15 +540,19 @@ def secondary_shading_tiled(
 
     def one_tile(args):
         p, d, li, m = args
-        nerv, _, ind = compute_radiance(
+        out = compute_radiance(
             cfg, params, scene, p, d, li,
             n_sample=n_sample, vis_near=vis_near, vis_far=vis_far,
             app_cap=app_cap, app_pair_cap=app_pair_cap,
             march_cap=march_cap, baked=baked, coarse=coarse,
             baked27=baked27, march_group=max(march_group, 2),
             app_baked=app_baked,
-            window=window, window_back=window_back, prepass_n=prepass_n)
+            window=window, window_back=window_back, prepass_n=prepass_n,
+            pair_ok=m, return_stats=return_stats)
+        nerv, ind = out[0], out[2]
         mf = m.astype(nerv.dtype)
+        if return_stats:
+            return nerv * mf, ind * mf[..., None], out[3]
         return nerv * mf, ind * mf[..., None]
 
     def one_tile_march(args):
@@ -527,13 +568,42 @@ def secondary_shading_tiled(
             baked27=baked27, march_group=max(march_group, 2),
             app_baked=app_baked,
             window=window, window_back=window_back, prepass_n=prepass_n,
-            return_app_payload=True)
+            return_app_payload=True, pair_ok=m)
         return nerv * m.astype(nerv.dtype), payload
 
+    stats = {}  # empty when the mode computes none (hoist path)
     if app_hoist:
         vis, payload = jax.lax.map(one_tile_march, (pts, dirs, lidx, mask))
         ind = _app_stage_global(cfg, params, payload, app_baked, tile)
         ind = ind * mask.astype(ind.dtype)[..., None]
+    elif return_stats:
+        vis, ind, tile_stats = jax.lax.map(one_tile,
+                                           (pts, dirs, lidx, mask))
+        valid = jnp.sum(tile_stats["valid_pairs"])
+        kept = jnp.sum(tile_stats["kept_pairs"])
+        slots = jnp.sum(tile_stats["valid_slots"])
+        k_cap = tile_stats["slot_cap"][0]
+        stats = {
+            # max weight>thres samples demanded by any kept pair, and the
+            # count of pairs whose demand exceeds second_app_cap (k): a
+            # tightened k' is bit-exact iff demand_max <= k'
+            "app_slot_demand_max": jnp.max(tile_stats["slot_demand_max"]),
+            "app_slot_overflow_pairs": jnp.sum(
+                tile_stats["slot_overflow_pairs"]),
+            # pairs with any weight>thres that did NOT fit the per-tile
+            # app pair cap (silently lose indirect light when > 0)
+            "app_pair_overflow_frac":
+                jnp.maximum(valid - kept, 0.0) / jnp.maximum(valid, 1.0),
+            # how full the static app capacities actually run — the
+            # headroom signal for app_pair_frac / second_app_cap cuts
+            "app_pair_occupancy": valid / float(n_tiles * app_pair_cap),
+            "app_slot_occupancy": slots / jnp.maximum(kept * k_cap, 1.0),
+            # cosine-valid pairs dropped by the hemisphere compaction cap
+            "compact_overflow_frac": (
+                jnp.maximum(n_valid_in - jnp.sum(mask.astype(jnp.float32)),
+                            0.0) / jnp.maximum(n_valid_in, 1.0)
+                if compact else jnp.float32(0.0)),
+        }
     else:
         vis, ind = jax.lax.map(one_tile, (pts, dirs, lidx, mask))
     if compact:
@@ -548,4 +618,7 @@ def secondary_shading_tiled(
     else:
         vis = vis.reshape(-1)[:total].reshape(P, L, 1)
         ind = ind.reshape(-1, 3)[:total].reshape(P, L, 3)
+    if return_stats:
+        return (jax.lax.stop_gradient(vis), jax.lax.stop_gradient(ind),
+                jax.lax.stop_gradient(stats))
     return jax.lax.stop_gradient(vis), jax.lax.stop_gradient(ind)

@@ -47,6 +47,9 @@ def render_train_batch(
     group_bake_reso: int = 0,
     app_bake_reso: int = 0,
     secondary_app_hoist: bool = False,
+    second_app_cap: int = 16,
+    app_pair_frac: float = 0.0,
+    secondary_stats: bool = False,
     ndc_ray: bool = False,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
@@ -114,7 +117,14 @@ def render_train_batch(
         group_bake_reso=group_bake_reso,
         app_bake_reso=app_bake_reso,
         secondary_app_hoist=secondary_app_hoist,
+        second_app_cap=second_app_cap,
+        app_pair_frac=app_pair_frac,
+        return_secondary_stats=secondary_stats,
     )
+    if secondary_stats:
+        rgb_sel, sec_stats = rgb_sel
+        for k, v in (sec_stats or {}).items():
+            ret[f"sec/{k}"] = v
     rgb_sel = jnp.where(sel_valid[:, None], rgb_sel, 1.0)
 
     # unselected rays keep the white background (renderer.py:95)

@@ -351,6 +351,8 @@ def reconstruction(
             group_bake_reso=cfg.group_bake_reso,
             app_bake_reso=cfg.app_bake_reso,
             secondary_app_hoist=bool(cfg.secondary_app_hoist),
+            second_app_cap=cfg.second_app_cap,
+            app_pair_frac=cfg.app_pair_frac,
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,

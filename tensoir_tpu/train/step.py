@@ -66,6 +66,9 @@ class StepStatic:
     group_bake_reso: int = 0          # 27-pack bake reso (0 = bake_reso)
     app_bake_reso: int = 0            # baked secondary app feature (0=off)
     secondary_app_hoist: bool = False  # global (cross-tile) app stage
+    second_app_cap: int = 16          # app samples per selected pair (k)
+    app_pair_frac: float = 0.0        # per-tile app pair cap override
+    secondary_stats: bool = False     # cap-occupancy/overflow telemetry
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
     second_n_sample: int = 96
@@ -99,6 +102,9 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         group_bake_reso=st.group_bake_reso,
         app_bake_reso=st.app_bake_reso,
         secondary_app_hoist=st.secondary_app_hoist,
+        second_app_cap=st.second_app_cap,
+        app_pair_frac=st.app_pair_frac,
+        secondary_stats=st.secondary_stats,
         ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,
         second_n_sample=st.second_n_sample, second_near=st.second_near,
@@ -171,6 +177,11 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         # march (grouped selection can keep up to g x fewer occupied samples
         # on overflow; see render_rays / ADVICE r2)
         metrics["march_overflow_frac"] = ret["march_overflow_frac"]
+    for sk in ("sec/app_pair_overflow_frac", "sec/app_pair_occupancy",
+               "sec/app_slot_occupancy", "sec/compact_overflow_frac",
+               "sec/app_slot_demand_max", "sec/app_slot_overflow_pairs"):
+        if sk in ret:
+            metrics[sk] = ret[sk]
     if "acc_mask" in ret:
         # how many rays the reference would relight (renderer.py:86-107);
         # bench.py counts visibility rays as min(this, relight_ray_cap)*dirs
