@@ -119,6 +119,14 @@ def main():
         "acap8_pf12_ab64": {"app_bake_reso": 64, "second_app_cap": 8,
                             "app_pair_frac": 0.125,
                             "secondary_stats": True},
+        # conservative candidate from the trained-ckpt demand probe
+        # (slot_demand_max 12, pair occupancy 0.59 of tile/2 —
+        # /tmp/probe_demand.log): exact on the probe, margin for tiles
+        "acap12_ab64": {"app_bake_reso": 64, "second_app_cap": 12,
+                        "secondary_stats": True},
+        "acap12_pf44_ab64": {"app_bake_reso": 64, "second_app_cap": 12,
+                             "app_pair_frac": 0.4375,
+                             "secondary_stats": True},
         "p8_ab64": {"app_bake_reso": 64, "second_prepass_n": 8},
     }
     import sys

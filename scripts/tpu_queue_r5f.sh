@@ -15,8 +15,8 @@ echo "=== [1/2] app-cap A/B, interleaved (drift discipline, CLAUDE.md)"
 # stats_ab64 vs ab64 also measures the telemetry's own overhead; the cap
 # variants carry stats so overflow/occupancy land in the same log.
 ABLATE_ITERS=16 python scripts/ablate_group.py \
-  ab64 stats_ab64 acap8_ab64 pf25_ab64 acap8_pf25_ab64 acap8_pf12_ab64 p8_ab64 \
-  ab64 stats_ab64 acap8_ab64 pf25_ab64 acap8_pf25_ab64 acap8_pf12_ab64 p8_ab64 \
+  ab64 stats_ab64 acap8_ab64 pf25_ab64 acap8_pf25_ab64 acap8_pf12_ab64 acap12_pf44_ab64 p8_ab64 \
+  ab64 stats_ab64 acap8_ab64 pf25_ab64 acap8_pf25_ab64 acap8_pf12_ab64 acap12_pf44_ab64 p8_ab64 \
   > /tmp/ablate_caps.log 2>&1
 echo "caps A/B exit: $?"
 grep -h '"variant"' /tmp/ablate_caps.log
