@@ -62,6 +62,14 @@ def main(argv=None):
                         help="grouped PRIMARY march: one 16-corner block "
                              "row per group of g density samples (0/1=off; "
                              "exact, see tests/test_grouped_primary.py)")
+    parser.add_argument("--app_cap_secondary", type=int, default=16,
+                        help="app samples per selected secondary pair (k)")
+    parser.add_argument("--pair_frac", type=float, default=0.0,
+                        help="per-tile app pair cap as a tile fraction "
+                             "(0=auto: tile/2 compacted, tile/4 dense)")
+    parser.add_argument("--sec_stats", type=int, default=0,
+                        help="log sec/* cap occupancy/overflow telemetry "
+                             "(the app-cap adoption signal, BASELINE.md)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.compile_cache import enable as _cc
@@ -117,6 +125,9 @@ def main(argv=None):
         second_march_group=args.march_group,
         group_bake_reso=args.group_bake,
         march_group=args.primary_group,
+        second_app_cap=args.app_cap_secondary,
+        app_pair_frac=args.pair_frac,
+        secondary_stats=bool(args.sec_stats),
         vis_every=0,
         N_vis=0,
         save_iters=args.save_iters,

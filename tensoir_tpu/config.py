@@ -214,6 +214,9 @@ class TensoIRConfig:
     # tile (0 = auto: tile/2 compacted, tile/4 dense). Telemetry for
     # tightening: sec/app_pair_occupancy + sec/app_pair_overflow_frac.
     app_pair_frac: float = 0.0
+    # Log sec/* cap occupancy/overflow telemetry from the secondary stage
+    # (the app-cap adoption signal; small extra reductions per tile).
+    secondary_stats: int = 0
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

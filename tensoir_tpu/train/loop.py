@@ -353,6 +353,7 @@ def reconstruction(
             secondary_app_hoist=bool(cfg.secondary_app_hoist),
             second_app_cap=cfg.second_app_cap,
             app_pair_frac=cfg.app_pair_frac,
+            secondary_stats=bool(cfg.secondary_stats),
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,
