@@ -24,8 +24,20 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="./log/multilight_demo")
     parser.add_argument("--img", type=int, default=96)
     parser.add_argument("--views", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--relight_cap", type=int, default=4096,
                         help="reference-faithful: relight every masked ray")
+    # fast-march knob overrides for the knob x multilight bisection
+    # (round 3: both multilight demos collapsed to inverted normals under
+    # the canonical knobs while the single-light gates stayed healthy)
+    parser.add_argument("--window", type=int, default=48)
+    parser.add_argument("--window_back", type=int, default=16)
+    parser.add_argument("--prepass", type=int, default=12)
+    parser.add_argument("--dilate", type=int, default=3)
+    parser.add_argument("--compact", type=float, default=0.5625)
+    parser.add_argument("--app_bake", type=int, default=64)
+    parser.add_argument("--bake_reso", type=int, default=128)
+    parser.add_argument("--sec_stats", type=int, default=0)
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override
@@ -42,7 +54,7 @@ def main(argv=None):
         expname="multilight_demo",
         basedir=args.out,
         n_iters=it,
-        batch_size=4096,
+        batch_size=args.batch,
         lr_decay_iters=it,
         N_voxel_init=64 ** 3,
         N_voxel_final=128 ** 3,
@@ -68,14 +80,16 @@ def main(argv=None):
         app_cap_per_ray=32,
         march_cap_primary=192,
         relight_ray_cap=args.relight_cap,
-        # canonical fast-march knobs (quality-gated, BASELINE.md r2)
-        secondary_bake_reso=128,
-        second_window=48,
-        second_window_back=16,
-        second_prepass_n=12,
-        coarse_dilate=3,
-        secondary_compact_frac=0.5625,
-        app_bake_reso=64,
+        # canonical fast-march knobs (quality-gated single-light,
+        # BASELINE.md r2; CLI-overridable for the multilight bisection)
+        secondary_bake_reso=args.bake_reso,
+        second_window=args.window,
+        second_window_back=args.window_back,
+        second_prepass_n=args.prepass,
+        coarse_dilate=args.dilate,
+        secondary_compact_frac=args.compact,
+        app_bake_reso=args.app_bake,
+        secondary_stats=args.sec_stats,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,
