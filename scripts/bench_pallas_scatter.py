@@ -166,11 +166,14 @@ def main():
     timeit("pallas_scatter_add", lambda i: scatter_add(roll(i), vals), N)
     timeit("pallas_gather", lambda i: gather(roll(i), tab), N)
 
-    # XLA reference on the same shapes, same process
-    xla_sc = jax.jit(lambda ix: jnp.zeros((R, C)).at[ix].add(vals).sum())
-    timeit("xla_scatter_add", lambda i: xla_sc(roll(i)), N)
-    xla_g = jax.jit(lambda ix: jnp.take(tab, ix, axis=0).sum())
-    timeit("xla_gather", lambda i: xla_g(roll(i)), N)
+    # XLA reference on the same shapes, same process. vals/tab MUST be
+    # explicit arguments: closure-captured arrays are inlined as HLO
+    # constants and the 600MB serialized module blows the axon
+    # remote-compile body limit (HTTP 413 — observed r3 stage D)
+    xla_sc = jax.jit(lambda ix, v: jnp.zeros((R, C)).at[ix].add(v).sum())
+    timeit("xla_scatter_add", lambda i: xla_sc(roll(i), vals), N)
+    xla_g = jax.jit(lambda ix, t: jnp.take(t, ix, axis=0).sum())
+    timeit("xla_gather", lambda i: xla_g(roll(i), tab), N)
 
     # app-plane shape: 192-wide rows
     C2 = 192

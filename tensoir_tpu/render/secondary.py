@@ -607,14 +607,16 @@ def secondary_shading_tiled(
     else:
         vis, ind = jax.lax.map(one_tile, (pts, dirs, lidx, mask))
     if compact:
-        vis_c = vis.reshape(-1)
-        ind_c = ind.reshape(-1, 3)
-        vis = jnp.zeros((total,), vis_c.dtype).at[cidx].set(
-            vis_c[:cap], mode="drop")
-        ind = jnp.zeros((total, 3), ind_c.dtype).at[cidx].set(
-            ind_c[:cap], mode="drop")
-        vis = vis.reshape(P, L, 1)
-        ind = ind.reshape(P, L, 3)
+        # ONE fused [cap, 4] scatter-back instead of separate vis [cap] and
+        # ind [cap, 3] scatters: the two scatters were 93 ms/step at the
+        # canonical config (round-3 trace, fusion.85/86) and scatter cost
+        # is row-count bound, so fusing the row set halves it
+        both = jnp.concatenate([vis.reshape(-1, 1)[:cap],
+                                ind.reshape(-1, 3)[:cap]], axis=-1)
+        out = jnp.zeros((total, 4), both.dtype).at[cidx].set(
+            both, mode="drop")
+        vis = out[:, :1].reshape(P, L, 1)
+        ind = out[:, 1:].reshape(P, L, 3)
     else:
         vis = vis.reshape(-1)[:total].reshape(P, L, 1)
         ind = ind.reshape(-1, 3)[:total].reshape(P, L, 3)
