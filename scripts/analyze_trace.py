@@ -62,8 +62,12 @@ def main():
     op_tids = {(p, t) for (p, t), n in thread_names.items()
                if p in device_pids and "XLA Ops" in n}
 
-    total = collections.Counter()
-    count = collections.Counter()
+    # Even within one ops thread, container HLOs (while/fusion bodies,
+    # jit_* module events) NEST their children as overlapping X events —
+    # raw dur sums double-count. Attribute SELF time: per (pid, tid),
+    # sweep events by start time with a stack and subtract each child's
+    # duration from its enclosing parent.
+    per_track = collections.defaultdict(list)
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
@@ -72,8 +76,29 @@ def main():
         name = e.get("name", "")
         if name.startswith("$"):   # python host frames
             continue
-        total[base_name(name)] += e.get("dur", 0.0)
-        count[base_name(name)] += 1
+        per_track[(e.get("pid"), e.get("tid"))].append(e)
+
+    total = collections.Counter()
+    count = collections.Counter()
+    for track in per_track.values():
+        track.sort(key=lambda e: (e["ts"], -e.get("dur", 0.0)))
+        stack = []  # (end_ts, name, self_dur_accum_index)
+        selfs = []
+        for e in track:
+            ts, dur = e["ts"], e.get("dur", 0.0)
+            while stack and stack[-1][0] <= ts + 1e-9:
+                end, nm, sd = stack.pop()
+                selfs.append((nm, sd))
+            if stack:
+                end, nm, sd = stack[-1]
+                stack[-1] = (end, nm, sd - dur)  # child steals parent time
+            stack.append((ts + dur, e.get("name", ""), dur))
+        while stack:
+            _, nm, sd = stack.pop()
+            selfs.append((nm, sd))
+        for nm, sd in selfs:
+            total[base_name(nm)] += max(sd, 0.0)
+            count[base_name(nm)] += 1
 
     grand = sum(total.values())
     print(f"trace: {path}")
