@@ -70,6 +70,18 @@ def main(argv=None):
     parser.add_argument("--sec_stats", type=int, default=0,
                         help="log sec/* cap occupancy/overflow telemetry "
                              "(the app-cap adoption signal, BASELINE.md)")
+    parser.add_argument("--phase_anchor", type=int, default=0,
+                        help="anchor the upsample/alpha/relight schedule "
+                             "to THIS many iters instead of scaling it "
+                             "proportionally to --iters. The reference "
+                             "keeps these phases at absolute early "
+                             "positions for any run length "
+                             "(configs/single_light/armadillo.txt:18-20); "
+                             "the r3 20k flagship showed proportional "
+                             "scaling converges to worse normals (relight "
+                             "starts on an over-sharpened density field — "
+                             "BASELINE.md ckpt series). 0 = proportional "
+                             "(legacy).")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.compile_cache import enable as _cc
@@ -80,6 +92,7 @@ def main(argv=None):
     from tensoir_tpu.train.loop import reconstruction
 
     it = args.iters
+    anchor = min(args.phase_anchor or it, it)
     cfg = TensoIRConfig(
         expname="synthetic_demo",
         basedir=args.out,
@@ -88,8 +101,9 @@ def main(argv=None):
         lr_decay_iters=it,
         N_voxel_init=64 ** 3,
         N_voxel_final=160 ** 3,
-        upsamp_list=(int(it * 0.24), int(it * 0.52)),
-        update_AlphaMask_list=(int(it * 0.24), int(it * 0.36), int(it * 0.6)),
+        upsamp_list=(int(anchor * 0.24), int(anchor * 0.52)),
+        update_AlphaMask_list=(int(anchor * 0.24), int(anchor * 0.36),
+                               int(anchor * 0.6)),
         n_lamb_sigma=(16, 16, 16),
         n_lamb_sh=(48, 48, 48),
         shadingMode="MLP_Fea",
