@@ -13,7 +13,16 @@ while ! grep -q "queue r5g done" /tmp/tpu_queue_r5g.log 2>/dev/null; do
   sleep 60
 done
 
-echo "=== [1/1] 20k flagship, phase_anchor 5000, canonical knobs + telemetry"
+echo "=== [1/2] 5k quality gate: acap12 + pf0.4375 (demo-scene zero-overflow caps)"
+python examples/train_synthetic_demo.py --iters 5000 \
+  --bake_reso 128 --relight_cap 4096 --window 48 --window_back 16 \
+  --compact 0.5625 --prepass 12 --dilate 3 --app_bake 64 \
+  --app_cap_secondary 12 --pair_frac 0.4375 --sec_stats 1 \
+  --out ./log/synthetic_demo_r3_capgate > /tmp/demo_capgate.log 2>&1
+echo "cap gate exit: $?"
+tail -12 /tmp/demo_capgate.log
+
+echo "=== [2/2] 20k flagship, phase_anchor 5000, canonical knobs + telemetry"
 python examples/train_synthetic_demo.py --iters 20000 --phase_anchor 5000 \
   --bake_reso 128 --relight_cap 4096 --window 48 --window_back 16 \
   --compact 0.5625 --prepass 12 --dilate 3 --app_bake 64 \
