@@ -55,7 +55,12 @@ def main():
     WINDOW = 48            # interval-culled secondary march
     WINDOW_BACK = 16       # back-anchored split (two-interval coverage)
     COMPACT = 0.5625       # hemisphere-pair compaction
-    PREPASS = 12           # coarse-occupancy prepass samples
+    PREPASS = 8            # coarse-occupancy prepass samples — contract-
+                           # legal at dilate 3 (margin 0.1875 >= half
+                           # spacing 0.0906) and LOSS-IDENTICAL to p12 on
+                           # the interleaved A/B (BASELINE.md r3 cap table:
+                           # 1163 vs 1203 ms); the prepass is a conservative
+                           # cull, so legality + loss identity = exact
     DILATE = 3             # coarse dilation (margin >= half prepass spacing;
                            # quality gate: log/synthetic_demo_r2_d3p12)
     APP_BAKE = 64          # baked secondary app feature: ONE row gather per
