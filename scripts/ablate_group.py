@@ -128,6 +128,8 @@ def main():
                              "app_pair_frac": 0.4375,
                              "secondary_stats": True},
         "p8_ab64": {"app_bake_reso": 64, "second_prepass_n": 8},
+        "t64k_p8_ab64": {"secondary_tile": 65536, "app_bake_reso": 64,
+                         "second_prepass_n": 8},
         # final round-3 canonical candidate: p8 (adopted, loss-identical)
         # + the gated cap pair
         "acap12_pf44_p8_ab64": {"app_bake_reso": 64, "second_app_cap": 12,

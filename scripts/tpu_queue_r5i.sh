@@ -15,8 +15,8 @@ done
 
 echo "=== [1/2] tile-size + combined-candidate A/B (interleaved)"
 ABLATE_ITERS=16 python scripts/ablate_group.py \
-  p8_ab64 t64k_ab64 acap12_pf44_p8_ab64 \
-  p8_ab64 t64k_ab64 acap12_pf44_p8_ab64 \
+  p8_ab64 t64k_p8_ab64 acap12_pf44_p8_ab64 \
+  p8_ab64 t64k_p8_ab64 acap12_pf44_p8_ab64 \
   > /tmp/ablate_tiles.log 2>&1
 echo "tiles A/B exit: $?"
 grep -h '"variant"' /tmp/ablate_tiles.log
