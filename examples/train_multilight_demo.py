@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("--app_bake", type=int, default=64)
     parser.add_argument("--bake_reso", type=int, default=128)
     parser.add_argument("--sec_stats", type=int, default=0)
+    parser.add_argument("--fast_march_start", type=int, default=0,
+                        help="iteration at which the lossy fast-march "
+                             "knobs activate (0 = from the start)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override
@@ -90,6 +93,7 @@ def main(argv=None):
         secondary_compact_frac=args.compact,
         app_bake_reso=args.app_bake,
         secondary_stats=args.sec_stats,
+        fast_march_start=args.fast_march_start,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,

@@ -70,6 +70,10 @@ def main(argv=None):
     parser.add_argument("--sec_stats", type=int, default=0,
                         help="log sec/* cap occupancy/overflow telemetry "
                              "(the app-cap adoption signal, BASELINE.md)")
+    parser.add_argument("--fast_march_start", type=int, default=0,
+                        help="iteration at which the lossy fast-march "
+                             "knobs (window/app bake) activate; 0 = from "
+                             "the start (config.py:fast_march_start)")
     parser.add_argument("--phase_anchor", type=int, default=0,
                         help="anchor the upsample/alpha/relight schedule "
                              "to THIS many iters instead of scaling it "
@@ -142,6 +146,7 @@ def main(argv=None):
         second_app_cap=args.app_cap_secondary,
         app_pair_frac=args.pair_frac,
         secondary_stats=bool(args.sec_stats),
+        fast_march_start=args.fast_march_start,
         vis_every=0,
         N_vis=0,
         save_iters=args.save_iters,

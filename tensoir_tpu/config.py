@@ -217,6 +217,14 @@ class TensoIRConfig:
     # Log sec/* cap occupancy/overflow telemetry from the secondary stage
     # (the app-cap adoption signal; small extra reductions per tile).
     secondary_stats: int = 0
+    # Iteration at which the LOSSY fast-march knobs (interval-culled
+    # window, baked app feature) activate; before it the secondary runs
+    # the exact full march. 0 = from the start. Rationale: on a SOFT
+    # (early-relight) density the window truncates real mid-span
+    # transmittance/indirect (measured 0.58 rel indirect error on a soft
+    # toy field, tests/test_app_caps.py) — the window approximation is
+    # only tight once transmittance saturates inside the front window.
+    fast_march_start: int = 0
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

@@ -311,9 +311,16 @@ def reconstruction(
         sampler = SimpleSampler(rays_f.shape[0], local_batch,
                                 seed=cfg.seed + start_it + jax.process_index())
 
-    def build_step(lr_scale: float):
+    def build_step(lr_scale: float, at_iter: int = 0, reuse_opt=None):
+        # lossy fast-march knobs (window cull, baked app feature) stay OFF
+        # until fast_march_start — on a soft early-relight density the
+        # window truncates real transmittance/indirect (config.py note)
+        fast_on = at_iter >= cfg.fast_march_start
+        eff_window = cfg.second_window if fast_on else 0
+        eff_window_back = cfg.second_window_back if fast_on else 0
+        eff_app_bake = cfg.app_bake_reso if fast_on else 0
         eff_group = 0
-        if relight and 0 < cfg.second_window < cfg.second_nSample:
+        if relight and 0 < eff_window < cfg.second_nSample:
             # conservativeness contract, re-checked against the CURRENT
             # (possibly shrunk) aabb at every jit-phase rebuild — a config
             # change must not silently turn the exact interval cull into a
@@ -331,7 +338,10 @@ def reconstruction(
                 fcfg.step_ratio)
         optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
                                    cfg.lr_basis * lr_scale, lr_factor)
-        opt_state = optimizer.init(params)
+        # reuse_opt: a knob flip that changes no parameter shapes must not
+        # reset the Adam moments / schedule (optax states are pytrees
+        # independent of the optimizer fn identity)
+        opt_state = optimizer.init(params) if reuse_opt is None else reuse_opt
         st = StepStatic(
             n_samples=n_samples, is_relight=relight, white_bg=white_bg,
             sample_method=cfg.light_sample_train,
@@ -341,15 +351,15 @@ def reconstruction(
             second_march_cap=cfg.march_cap_secondary,
             secondary_use_baked=cfg.secondary_use_baked,
             secondary_bake_reso=cfg.secondary_bake_reso,
-            second_window=cfg.second_window,
-            second_window_back=cfg.second_window_back,
+            second_window=eff_window,
+            second_window_back=eff_window_back,
             second_prepass_n=cfg.second_prepass_n,
             coarse_dilate=cfg.coarse_dilate,
             march_select=cfg.march_select,
             secondary_compact_frac=cfg.secondary_compact_frac,
             second_march_group=eff_group,
             group_bake_reso=cfg.group_bake_reso,
-            app_bake_reso=cfg.app_bake_reso,
+            app_bake_reso=eff_app_bake,
             secondary_app_hoist=bool(cfg.secondary_app_hoist),
             second_app_cap=cfg.second_app_cap,
             app_pair_frac=cfg.app_pair_frac,
@@ -373,7 +383,7 @@ def reconstruction(
             lr_factor=lr_factor)
         return make_train_step(fcfg, optimizer, st, w, mesh=mesh), opt_state
 
-    step_fn, opt_state = build_step(cur_lr_scale)
+    step_fn, opt_state = build_step(cur_lr_scale, at_iter=start_it)
     if resume_opt_leaves is not None:
         from tensoir_tpu.utils.ckpt import restore_opt_state
         opt_state = restore_opt_state(opt_state, resume_opt_leaves)
@@ -448,6 +458,7 @@ def reconstruction(
                 progress_cb(it, m)
 
         # ---- phase schedule ----
+        rebuilt_this_it = False
         if it in update_am_list:
             reso_mask = tuple(min(r, 256) for r in reso_cur)
             # np hop is load-bearing: it unshards the (possibly
@@ -467,7 +478,8 @@ def reconstruction(
                 n_samples = min(cfg.nSamples,
                                 LC.cal_n_samples(reso_cur, cfg.step_ratio))
                 cur_lr_scale = 1.0
-                step_fn, opt_state = build_step(cur_lr_scale)
+                step_fn, opt_state = build_step(cur_lr_scale, at_iter=it)
+                rebuilt_this_it = True
                 meter = make_meter()   # relight flip changes rays/step
                 if mesh is not None:
                     params = replicate(mesh, params)
@@ -499,11 +511,21 @@ def reconstruction(
             params = LC.upsample(jax.tree.map(jnp.asarray, params), reso_cur)
             cur_lr_scale = 1.0 if cfg.lr_upsample_reset else (
                 cfg.lr_decay_target_ratio ** (it / n_iters))
-            step_fn, opt_state = build_step(cur_lr_scale)
+            step_fn, opt_state = build_step(cur_lr_scale, at_iter=it)
+            rebuilt_this_it = True
             if mesh is not None:
                 params = replicate(mesh, params)
                 scene = replicate(mesh, scene)
                 opt_state = replicate(mesh, opt_state)
+
+        if (relight and cfg.fast_march_start > 0
+                and it == cfg.fast_march_start and not rebuilt_this_it):
+            # fast-march knob flip only (config.py:fast_march_start): no
+            # parameter shapes change, so keep the optimizer state — the
+            # coincident-event cases are covered by the rebuilds above,
+            # which already pass at_iter=it
+            step_fn, _ = build_step(cur_lr_scale, at_iter=it,
+                                    reuse_opt=opt_state)
 
         if eval_fn is not None and relight and cfg.vis_every > 0 \
                 and it % cfg.vis_every == cfg.vis_every - 1 and is_main:

@@ -219,3 +219,45 @@ def test_relight_benchmark_pipeline(tmp_path):
         assert np.isfinite(r["psnr"])
     assert os.path.exists(os.path.join(tmp_path, "relight",
                                        "relight_psnr.txt"))
+
+
+def test_fast_march_start_flip(tmp_path):
+    """fast_march_start keeps the lossy window/app-bake knobs OFF until
+    the configured iteration, then flips them on at a mid-run jit rebuild
+    WITHOUT resetting the optimizer state (config.py:fast_march_start —
+    the r3 multilight-collapse mitigation surface). The flip iteration
+    here is NOT a phase event, exercising the standalone rebuild."""
+    from tensoir_tpu.train.loop import reconstruction
+
+    ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
+    cfg = TensoIRConfig(
+        n_iters=60,
+        batch_size=256,
+        n_lamb_sigma=(4, 4, 4),
+        n_lamb_sh=(4, 4, 4),
+        data_dim_color=6,
+        featureC=32,
+        N_voxel_init=20 ** 3,
+        N_voxel_final=24 ** 3,
+        upsamp_list=(20,),
+        update_AlphaMask_list=(20, 40),
+        step_ratio=2.0,
+        nSamples=48,
+        numLgtSGs=16,
+        envmap_h=4, envmap_w=8,
+        second_nSample=16,
+        app_cap_per_ray=8,
+        relight_ray_cap=16,
+        secondary_tile=256,
+        # lossy fast knobs, gated to iteration 30 (between events)
+        second_window=12,
+        second_window_back=4,
+        second_prepass_n=8,
+        coarse_dilate=3,
+        app_bake_reso=16,
+        fast_march_start=30,
+        vis_every=0, save_iters=0, N_vis=0,
+        progress_refresh_rate=10,
+    )
+    result = reconstruction(cfg, ds, log_dir=os.path.join(tmp_path, "log"))
+    assert np.isfinite(result.metrics_history[-1]["total_loss"])
