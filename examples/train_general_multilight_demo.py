@@ -22,6 +22,10 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="./log/general_multilight_demo")
     parser.add_argument("--img", type=int, default=96)
     parser.add_argument("--views", type=int, default=16)
+    parser.add_argument("--fast_march_start", type=int, default=0,
+                        help="iteration at which the lossy fast-march "
+                             "knobs activate (0 = from the start; the r3 "
+                             "multilight collapse mitigation)")
     parser.add_argument("--relight_cap", type=int, default=4096,
                         help="reference-faithful: relight every masked ray")
     args = parser.parse_args(argv)
@@ -74,6 +78,7 @@ def main(argv=None):
         coarse_dilate=3,
         secondary_compact_frac=0.5625,
         app_bake_reso=64,
+        fast_march_start=args.fast_march_start,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,
