@@ -58,12 +58,4 @@ except Exception as e:
     print("harvest failed:", e)
 PY
 
-echo "=== [4/4] 20k flagship, phase_anchor 5000, canonical knobs + telemetry"
-python examples/train_synthetic_demo.py --iters 20000 --phase_anchor 5000 \
-  --bake_reso 128 --relight_cap 4096 --window 48 --window_back 16 \
-  --compact 0.5625 --prepass 12 --dilate 3 --app_bake 64 \
-  --sec_stats 1 --save_iters 4000 \
-  --out ./log/synthetic_demo_r3_20k_anchor > /tmp/demo_r3_20k_anchor.log 2>&1
-echo "flagship exit: $?"
-tail -12 /tmp/demo_r3_20k_anchor.log
 echo "=== queue r5h done"
