@@ -30,6 +30,12 @@ except Exception as e:
 PY
 }
 
+echo "=== [0/5] ml_bisect 'bake' probe (completes the stage-G matrix)"
+python examples/train_multilight_demo.py --iters 2000 \
+  --out ./log/ml_bisect_bake --window 0 --window_back 0 --compact 0 \
+  > /tmp/ml_bisect_bake.log 2>&1
+echo "exit: $?"; harvest_ml ml_bisect_bake bake_probe
+
 echo "=== [1/5] multilight fix demo (fast_march_start 1800)"
 python examples/train_multilight_demo.py --iters 4000 \
   --fast_march_start 1800 --sec_stats 1 \
