@@ -56,6 +56,24 @@ def host_key(key):
     return jax.random.fold_in(key, jax.process_index())
 
 
+def agree(flag: bool) -> bool:
+    """All-process agreement on a host-local predicate (process 0 decides).
+
+    Needed wherever a host-local observation (e.g. a stop-file on disk)
+    gates collective work: if processes decided independently they could
+    exit the train loop at different iterations and deadlock the next
+    collective (same failure class as the round-2 ckpt-barrier bug).
+    Collective when n_proc > 1 — every process must call it at the same
+    program point. No-op single-process.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(multihost_utils.broadcast_one_to_all(np.asarray(bool(flag))))
+
+
 def barrier(name: str = "barrier"):
     """Block until every process reaches this point.
 

@@ -424,6 +424,17 @@ def reconstruction(
 
     history = []
     t_start = time.time()
+    # Graceful preemption: touch $TENSOIR_STOP_FILE and the loop exits at
+    # the next progress refresh — final checkpoint (with the TRUE stop
+    # iteration, so resume_full continues correctly) and the caller's
+    # final eval still run. This is how queued TPU runs are ended near a
+    # round boundary without killing the python (an axon SIGKILL
+    # mid-claim wedges the tunnel; CLAUDE.md). The env var is identical
+    # on every process (inherited from one launcher), so the collective
+    # agree() below is reached uniformly.
+    stop_path = os.environ.get("TENSOIR_STOP_FILE", "")
+    stopped_early = False
+    it = start_it - 1  # resume-at-completion: loop body may never run
     for it in range(start_it, n_iters):
         ids = sampler.nextids()
         batch = {
@@ -456,6 +467,17 @@ def reconstruction(
                 logger.log(it, m)
             if progress_cb:
                 progress_cb(it, m)
+            # process-0's file observation, broadcast — independent
+            # per-process checks could break at different iterations and
+            # deadlock the ckpt_final barrier below
+            if stop_path and multihost.agree(
+                    is_main and os.path.exists(stop_path)):
+                stopped_early = True
+                if is_main:
+                    print(f"[loop] stop file {stop_path} seen at iter {it};"
+                          " stopping early (final ckpt/eval still run)",
+                          flush=True)
+                break
 
         # ---- phase schedule ----
         rebuilt_this_it = False
@@ -567,7 +589,8 @@ def reconstruction(
             save_checkpoint(os.path.join(log_dir, "ckpt_final.npz"),
                             fcfg, jax.tree.map(np.asarray, params),
                             jax.tree.map(np.asarray, scene),
-                            extra=train_state_extra(n_iters),
+                            extra=train_state_extra(
+                                it + 1 if stopped_early else n_iters),
                             opt_state=jax.tree.map(np.asarray, opt_state),
                             rng_key=np.asarray(key))
         multihost.barrier("ckpt_final")

@@ -169,6 +169,61 @@ def test_full_state_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_stop_file_graceful_early_exit(tmp_path, monkeypatch):
+    """Touching $TENSOIR_STOP_FILE ends training at the next progress
+    refresh but still writes a resumable ckpt_final (operational tool for
+    ending queued TPU runs near a round boundary without a SIGKILL)."""
+    import dataclasses
+
+    from tensoir_tpu.train.loop import reconstruction
+    from tensoir_tpu.utils.ckpt import load_checkpoint
+
+    stop_file = os.path.join(tmp_path, "stop_now")
+    with open(stop_file, "w") as f:
+        f.write("stop")
+    monkeypatch.setenv("TENSOIR_STOP_FILE", stop_file)
+
+    ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
+    cfg = TensoIRConfig(
+        n_iters=500,  # would take minutes — the stop must cut it short
+        batch_size=128,
+        n_lamb_sigma=(4, 4, 4),
+        n_lamb_sh=(4, 4, 4),
+        data_dim_color=6,
+        featureC=32,
+        N_voxel_init=16 ** 3,
+        N_voxel_final=16 ** 3,
+        upsamp_list=(1000,),
+        update_AlphaMask_list=(1000,),
+        step_ratio=2.0,
+        nSamples=32,
+        numLgtSGs=16,
+        envmap_h=4, envmap_w=8,
+        vis_every=0,
+        save_iters=0,
+        N_vis=0,
+        progress_refresh_rate=5,
+    )
+    log_dir = os.path.join(tmp_path, "run_stop")
+    result = reconstruction(cfg, ds, log_dir=log_dir)
+    # stop fires at the FIRST progress refresh (iter 0)
+    assert len(result.metrics_history) == 1
+    ckpt_path = os.path.join(log_dir, "ckpt_final.npz")
+    assert os.path.exists(ckpt_path)
+    _, _, _, extra = load_checkpoint(ckpt_path)
+    assert extra["train_state"]["iteration"] == 1  # TRUE stop point
+
+    # resume_full continues from the stop point once the file is gone
+    os.remove(stop_file)
+    cfg_b = dataclasses.replace(cfg, ckpt=ckpt_path, resume_full=True,
+                                n_iters=8)
+    result_b = reconstruction(cfg_b, ds,
+                              log_dir=os.path.join(tmp_path, "run_resume"))
+    its = [m["iteration"] for m in result_b.metrics_history]
+    assert min(its) >= 1, "resume must continue from the stop iteration"
+
+
+@pytest.mark.slow
 def test_relight_benchmark_pipeline(tmp_path):
     """EnvironmentLight + importance-sampled relighting on a tiny model."""
     import jax
