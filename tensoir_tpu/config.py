@@ -224,7 +224,15 @@ class TensoIRConfig:
     # transmittance/indirect (measured 0.58 rel indirect error on a soft
     # toy field, tests/test_app_caps.py) — the window approximation is
     # only tight once transmittance saturates inside the front window.
+    # -1 = AUTO: the exact march measures, every step, the weight mass the
+    # configured window WOULD truncate (sec/window_resid_rel probe,
+    # secondary.py) and the loop flips the fast knobs on at the first
+    # progress refresh where it falls below fast_march_auto_thres — the
+    # hand-tuned iteration becomes a measured density-hardness criterion.
     fast_march_start: int = 0
+    # Auto-flip threshold on sec/window_resid_rel (collapsed multilight
+    # runs measured 0.58; hardened single-light densities read ~0).
+    fast_march_auto_thres: float = 0.02
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

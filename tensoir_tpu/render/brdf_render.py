@@ -87,6 +87,8 @@ def render_with_brdf(
     second_app_cap: int = 16,
     app_pair_frac: float = 0.0,
     return_secondary_stats: bool = False,
+    second_window_probe: int = 0,
+    second_window_probe_back: int = 0,
     use_linear2srgb: bool = True,
 ) -> jax.Array:
     """Physically-based RGB per ray [P, 3] (relight_utils.py:403-483)."""
@@ -134,7 +136,9 @@ def render_with_brdf(
         app_bake_reso=app_bake_reso,
         app_hoist=secondary_app_hoist,
         app_pair_frac=app_pair_frac,
-        return_stats=return_secondary_stats)
+        return_stats=return_secondary_stats,
+        window_probe=second_window_probe,
+        window_probe_back=second_window_probe_back)
     visibility, indirect = sec[0], sec[1]
     sec_stats = sec[2] if return_secondary_stats else None
 

@@ -154,6 +154,8 @@ def compute_radiance(
     return_app_payload: bool = False,
     return_stats: bool = False,
     pair_ok: "jax.Array | None" = None,
+    probe_window: int = 0,
+    probe_window_back: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """March a secondary ray: (nerv_vis, nerfactor_vis, indirect_light).
 
@@ -209,6 +211,46 @@ def compute_radiance(
                 valid = valid & (F.sample_alpha_mask(scene, xyz) > 0)
             sigma = jnp.where(valid, F.density(cfg, params, coords), 0.0)
     alpha, weight, transmittance = raw2alpha(sigma, dists * cfg.distance_scale)
+
+    # ---- window-truncation probe (fast_march_start auto mode) ----------
+    # While the EXACT march is running, measure the weight mass that the
+    # CONFIGURED front+back window WOULD truncate on the current density:
+    # first/last occupied sample bound the span; mid-span samples outside
+    # front [j0, j0+k_front) and back [j1-back+1, j1] carry the truncated
+    # contribution (the mechanism behind the round-3 multilight collapse —
+    # on a soft density transmittance does not saturate inside the front
+    # window, BASELINE.md). Pure [N,S] elementwise/cumsum work on arrays
+    # already in registers: no extra gathers. Slightly UNDER-estimates the
+    # real window (which anchors at the dilated coarse interval entry, not
+    # the fine first-occupied sample), hence the conservative default
+    # threshold at the consumer (config.fast_march_auto_thres).
+    probe_stats = None
+    if (return_stats and probe_window > 0
+            and not (baked is not None and coarse is not None
+                     and 0 < window < n_sample)
+            and not (baked is None and 0 < march_cap < n_sample)):
+        S_probe = sigma.shape[1]
+        occ = sigma > 0.0
+        if pair_ok is not None:
+            occ = occ & pair_ok[:, None]   # tile-padding junk rays
+        any_occ = jnp.any(occ, axis=1)
+        j0 = jnp.argmax(occ, axis=1)
+        j1 = S_probe - 1 - jnp.argmax(occ[:, ::-1], axis=1)
+        k_front = (probe_window - probe_window_back
+                   if 0 < probe_window_back < probe_window else probe_window)
+        front_end = j0 + k_front
+        sidx = jnp.arange(S_probe)[None, :]
+        if 0 < probe_window_back < probe_window:
+            start_b = jnp.maximum(j1 - probe_window_back + 1, front_end)
+            lost_mask = ((sidx >= front_end[:, None])
+                         & (sidx < start_b[:, None]))
+        else:
+            lost_mask = sidx >= front_end[:, None]
+        w_probe = jnp.where(any_occ[:, None], weight, 0.0)
+        probe_stats = {
+            "window_lost_w": jnp.sum(w_probe * lost_mask),
+            "window_tot_w": jnp.sum(w_probe),
+        }
 
     # ---- indirect light: two-stage compaction --------------------------
     # Stage 1 (pair level): most (point, dir) pairs hit nothing along the
@@ -310,6 +352,8 @@ def compute_radiance(
                      (demand > k).astype(jnp.float32)),
                  "pair_cap": jnp.float32(pair_cap),
                  "slot_cap": jnp.float32(k)}
+        if probe_stats is not None:
+            stats.update(probe_stats)
         return nerv_vis, nerfactor_vis, indirect, stats
 
     return nerv_vis, nerfactor_vis, indirect
@@ -435,6 +479,8 @@ def secondary_shading_tiled(
     app_hoist: bool = False,
     app_pair_frac: float = 0.0,
     return_stats: bool = False,
+    window_probe: int = 0,
+    window_probe_back: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visibility + indirect light for every (surface point, light dir) pair.
 
@@ -548,7 +594,9 @@ def secondary_shading_tiled(
             baked27=baked27, march_group=max(march_group, 2),
             app_baked=app_baked,
             window=window, window_back=window_back, prepass_n=prepass_n,
-            pair_ok=m, return_stats=return_stats)
+            pair_ok=m, return_stats=return_stats,
+            probe_window=window_probe,
+            probe_window_back=window_probe_back)
         nerv, ind = out[0], out[2]
         mf = m.astype(nerv.dtype)
         if return_stats:
@@ -604,6 +652,18 @@ def secondary_shading_tiled(
                             0.0) / jnp.maximum(n_valid_in, 1.0)
                 if compact else jnp.float32(0.0)),
         }
+        if "window_lost_w" in tile_stats:
+            # weight mass the CONFIGURED window would truncate on the
+            # current density, relative to the marched total — the
+            # fast_march_start auto-flip signal (healthy hardened density
+            # ~0; the collapsed multilight runs measured 0.58)
+            tot_w = jnp.sum(tile_stats["window_tot_w"])
+            # no marched weight yet (e.g. empty relight batch) reads as
+            # 1.0 — "not safe to flip" — never as a spurious 0.0
+            stats["window_resid_rel"] = jnp.where(
+                tot_w > 0.0,
+                jnp.sum(tile_stats["window_lost_w"])
+                / jnp.maximum(tot_w, 1e-6), 1.0)
     else:
         vis, ind = jax.lax.map(one_tile, (pts, dirs, lidx, mask))
     if compact:

@@ -50,6 +50,8 @@ def render_train_batch(
     second_app_cap: int = 16,
     app_pair_frac: float = 0.0,
     secondary_stats: bool = False,
+    second_window_probe: int = 0,
+    second_window_probe_back: int = 0,
     ndc_ray: bool = False,
     relight_ray_cap: int = 1024,
     second_n_sample: int = 96,
@@ -120,6 +122,8 @@ def render_train_batch(
         second_app_cap=second_app_cap,
         app_pair_frac=app_pair_frac,
         return_secondary_stats=secondary_stats,
+        second_window_probe=second_window_probe,
+        second_window_probe_back=second_window_probe_back,
     )
     if secondary_stats:
         rgb_sel, sec_stats = rgb_sel

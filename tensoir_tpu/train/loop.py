@@ -311,11 +311,19 @@ def reconstruction(
         sampler = SimpleSampler(rays_f.shape[0], local_batch,
                                 seed=cfg.seed + start_it + jax.process_index())
 
+    # fast_march_start == -1 (auto): the flip is decided by the measured
+    # window-truncation residual instead of a hand-tuned iteration; this
+    # python bool latches once the progress-refresh check below fires so
+    # later phase rebuilds keep the fast knobs on
+    fast_auto = cfg.fast_march_start == -1
+    fast_flipped = False
+
     def build_step(lr_scale: float, at_iter: int = 0, reuse_opt=None):
         # lossy fast-march knobs (window cull, baked app feature) stay OFF
         # until fast_march_start — on a soft early-relight density the
         # window truncates real transmittance/indirect (config.py note)
-        fast_on = at_iter >= cfg.fast_march_start
+        fast_on = (fast_flipped if fast_auto
+                   else at_iter >= cfg.fast_march_start)
         eff_window = cfg.second_window if fast_on else 0
         eff_window_back = cfg.second_window_back if fast_on else 0
         eff_app_bake = cfg.app_bake_reso if fast_on else 0
@@ -363,7 +371,15 @@ def reconstruction(
             secondary_app_hoist=bool(cfg.secondary_app_hoist),
             second_app_cap=cfg.second_app_cap,
             app_pair_frac=cfg.app_pair_frac,
-            secondary_stats=bool(cfg.secondary_stats),
+            # during the exact pre-flip phase, probe what the configured
+            # window WOULD truncate; auto mode needs the telemetry on to
+            # make its flip decision regardless of cfg.secondary_stats
+            second_window_probe=(cfg.second_window
+                                 if relight and not fast_on else 0),
+            second_window_probe_back=(cfg.second_window_back
+                                      if relight and not fast_on else 0),
+            secondary_stats=bool(cfg.secondary_stats) or (
+                fast_auto and relight and not fast_on),
             relight_ray_cap=cfg.relight_ray_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,
@@ -467,6 +483,23 @@ def reconstruction(
                 logger.log(it, m)
             if progress_cb:
                 progress_cb(it, m)
+            if (fast_auto and relight and not fast_flipped
+                    and m.get("sec/window_resid_rel", float("inf"))
+                    < cfg.fast_march_auto_thres):
+                # measured density-hardness criterion met: the configured
+                # window now truncates < thres of the marched weight mass,
+                # so the lossy knobs are safe — flip them on (same
+                # Adam-preserving rebuild as the fixed-iteration flip).
+                # psum'd metrics are process-identical, so every process
+                # takes this branch at the same iteration.
+                fast_flipped = True
+                if is_main:
+                    print(f"[loop] fast-march AUTO flip at iter {it}: "
+                          f"window_resid_rel "
+                          f"{m['sec/window_resid_rel']:.4f} < "
+                          f"{cfg.fast_march_auto_thres}", flush=True)
+                step_fn, _ = build_step(cur_lr_scale, at_iter=it,
+                                        reuse_opt=opt_state)
             # process-0's file observation, broadcast — independent
             # per-process checks could break at different iterations and
             # deadlock the ckpt_final barrier below

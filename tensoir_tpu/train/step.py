@@ -69,6 +69,10 @@ class StepStatic:
     second_app_cap: int = 16          # app samples per selected pair (k)
     app_pair_frac: float = 0.0        # per-tile app pair cap override
     secondary_stats: bool = False     # cap-occupancy/overflow telemetry
+    # exact-phase probe of the weight mass the CONFIGURED window would
+    # truncate (fast_march_start auto mode; secondary.py probe docstring)
+    second_window_probe: int = 0
+    second_window_probe_back: int = 0
     ndc_ray: bool = False             # forward-facing NDC marching
     relight_ray_cap: int = 1024
     second_n_sample: int = 96
@@ -105,6 +109,8 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         second_app_cap=st.second_app_cap,
         app_pair_frac=st.app_pair_frac,
         secondary_stats=st.secondary_stats,
+        second_window_probe=st.second_window_probe,
+        second_window_probe_back=st.second_window_probe_back,
         ndc_ray=st.ndc_ray,
         relight_ray_cap=st.relight_ray_cap,
         second_n_sample=st.second_n_sample, second_near=st.second_near,
@@ -177,7 +183,8 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         # march (grouped selection can keep up to g x fewer occupied samples
         # on overflow; see render_rays / ADVICE r2)
         metrics["march_overflow_frac"] = ret["march_overflow_frac"]
-    for sk in ("sec/app_pair_overflow_frac", "sec/app_pair_occupancy",
+    for sk in ("sec/window_resid_rel",
+               "sec/app_pair_overflow_frac", "sec/app_pair_occupancy",
                "sec/app_slot_occupancy", "sec/compact_overflow_frac",
                "sec/app_slot_demand_max", "sec/app_slot_overflow_pairs"):
         if sk in ret:

@@ -245,3 +245,37 @@ def test_multilight_knob_stack_light_conditioning():
     diff1 = np.asarray(wins[1][1]) - np.asarray(exact[1][1])
     diff2 = np.asarray(wins[2][1]) - np.asarray(exact[2][1])
     np.testing.assert_allclose(diff1, diff2, atol=5e-4 * (wmag / 1e-4 + 1))
+
+
+def test_window_truncation_probe_soft_vs_hard():
+    """fast_march_start auto-mode signal (secondary.py probe): on a SOFT
+    density the configured window would truncate a large fraction of the
+    marched weight mass; hardening the same field drives the residual
+    toward 0 (the round-3 multilight-collapse mechanism, BASELINE.md)."""
+    cfg, params, scene = _model_with_mask()
+    pts, dirs, lidx, mask = _pairs(cfg)
+
+    def resid(p, scale):
+        p = dict(p)
+        for i in range(3):
+            p[f"density_plane_{i}"] = p[f"density_plane_{i}"] * scale
+        _, _, stats = _run(cfg, p, scene, pts, dirs, lidx, mask,
+                           march_cap=0, compact_frac=0.0,
+                           window_probe=6, window_probe_back=0)
+        assert "window_resid_rel" in stats
+        r = float(stats["window_resid_rel"])
+        assert 0.0 <= r <= 1.0
+        return r
+
+    r_soft = resid(params, 0.05)   # near-transparent: window truncates
+    r_hard = resid(params, 50.0)   # saturates within a few samples
+    assert r_soft > 0.1, f"soft density must show truncation ({r_soft})"
+    assert r_hard < 0.02, f"hard density must read ~0 ({r_hard})"
+    assert r_soft > r_hard * 5
+
+
+def test_window_probe_off_by_default():
+    cfg, params, scene = _model_with_mask()
+    pts, dirs, lidx, mask = _pairs(cfg)
+    _, _, stats = _run(cfg, params, scene, pts, dirs, lidx, mask)
+    assert "window_resid_rel" not in stats

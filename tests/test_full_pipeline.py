@@ -316,3 +316,159 @@ def test_fast_march_start_flip(tmp_path):
     )
     result = reconstruction(cfg, ds, log_dir=os.path.join(tmp_path, "log"))
     assert np.isfinite(result.metrics_history[-1]["total_loss"])
+
+
+@pytest.mark.slow
+def test_fast_march_auto_flip(tmp_path):
+    """fast_march_start=-1 (auto): the exact march runs until the measured
+    window-truncation residual (sec/window_resid_rel) clears the
+    threshold, then the lossy knobs flip on; with an impossible threshold
+    the probe stays active (and exposed in metrics) to the end."""
+    from tensoir_tpu.train.loop import reconstruction
+
+    ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
+    base = dict(
+        n_iters=60,
+        batch_size=256,
+        n_lamb_sigma=(4, 4, 4),
+        n_lamb_sh=(4, 4, 4),
+        data_dim_color=6,
+        featureC=32,
+        N_voxel_init=20 ** 3,
+        N_voxel_final=20 ** 3,
+        upsamp_list=(1000,),
+        update_AlphaMask_list=(20,),
+        step_ratio=2.0,
+        nSamples=48,
+        numLgtSGs=16,
+        envmap_h=4, envmap_w=8,
+        second_nSample=8,
+        second_window=4,
+        second_window_back=0,
+        second_prepass_n=12,
+        app_cap_per_ray=8,
+        relight_ray_cap=16,
+        secondary_tile=256,
+        fast_march_start=-1,
+        vis_every=0, save_iters=0, N_vis=0,
+        progress_refresh_rate=10,
+    )
+    # Case A — flip mechanics: thres > 1 flips at the FIRST relight
+    # progress refresh regardless of the measured value (resid <= 1.0 by
+    # construction); afterwards the probe is compiled out. The soft-vs-
+    # hard SIGNAL itself is unit-tested in test_app_caps.py.
+    cfg = TensoIRConfig(**base, fast_march_auto_thres=2.0)
+    res = reconstruction(cfg, ds, log_dir=os.path.join(tmp_path, "auto"))
+    relight_ms = [m for m in res.metrics_history if m["iteration"] > 20]
+    assert len(relight_ms) >= 2
+    assert "sec/window_resid_rel" in relight_ms[0]
+    assert "sec/window_resid_rel" not in relight_ms[-1], \
+        "auto flip should have disabled the probe"
+    assert np.isfinite(res.metrics_history[-1]["total_loss"])
+
+    # Case B — premature-flip guard: this tiny fixture never produces
+    # acc-masked rays (n_acc_masked 0), so no weight is marched and the
+    # residual must read 1.0 ("not safe"), never a spurious 0.0 that
+    # would flip the lossy knobs onto an untrained density.
+    cfg2 = TensoIRConfig(**base, fast_march_auto_thres=0.999)
+    res2 = reconstruction(cfg2, ds, log_dir=os.path.join(tmp_path, "hold"))
+    ms2 = [m for m in res2.metrics_history if m["iteration"] > 20]
+    assert all(m.get("sec/window_resid_rel") == 1.0 for m in ms2)
+    assert all(m.get("n_acc_masked") == 0.0 for m in ms2)
+
+
+@pytest.mark.slow
+def test_relight_benchmark_pipeline(tmp_path):
+    """EnvironmentLight + importance-sampled relighting on a tiny model."""
+    import jax
+    from tensoir_tpu.data.hdr import write_hdr
+    from tensoir_tpu.models.env_light import EnvironmentLight
+    from tensoir_tpu.models.field import FieldConfig, init_field_params
+    from tensoir_tpu.render.relight_pipeline import relight_benchmark
+
+    hdr_dir = os.path.join(tmp_path, "hdr")
+    os.makedirs(hdr_dir)
+    rng = np.random.default_rng(0)
+    for name in ("bridge", "city"):
+        write_hdr(os.path.join(hdr_dir, f"{name}.hdr"),
+                  rng.random((8, 16, 3)).astype(np.float32))
+    env = EnvironmentLight(hdr_dir)
+    assert set(env.light_names) == {"bridge", "city"}
+
+    d, rgb, pdf = env.sample_light("bridge", 4, 32, jax.random.PRNGKey(0))
+    assert d.shape == (4, 32, 3) and rgb.shape == (4, 32, 3)
+    assert np.all(np.asarray(pdf) > 0)
+
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4),
+                      app_dim=6, feature_c=32, num_sgs=16,
+                      envmap_h=4, envmap_w=8, step_ratio=2.0)
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    params, scene = init_field_params(jax.random.PRNGKey(0), cfg,
+                                      (16, 16, 16), aabb)
+
+    class MiniRelightDS:
+        light_names = ["bridge", "city"]
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            base = SyntheticSphereDataset(split="test", n_views=1,
+                                          img_wh=(16, 16))
+            item = base[0]
+            item["rgbs"] = np.stack([item["rgbs"][0]] * 2, 0)
+            return item
+
+    results = relight_benchmark(
+        cfg, params, scene, MiniRelightDS(), env, n_samples=24,
+        save_path=os.path.join(tmp_path, "relight"), chunk=64,
+        n_light_samples=16, second_n_sample=8, vis_tile=256)
+    assert set(results.keys()) == {"bridge", "city"}
+    for r in results.values():
+        assert np.isfinite(r["psnr"])
+    assert os.path.exists(os.path.join(tmp_path, "relight",
+                                       "relight_psnr.txt"))
+
+
+def test_fast_march_start_flip(tmp_path):
+    """fast_march_start keeps the lossy window/app-bake knobs OFF until
+    the configured iteration, then flips them on at a mid-run jit rebuild
+    WITHOUT resetting the optimizer state (config.py:fast_march_start —
+    the r3 multilight-collapse mitigation surface). The flip iteration
+    here is NOT a phase event, exercising the standalone rebuild."""
+    from tensoir_tpu.train.loop import reconstruction
+
+    ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
+    cfg = TensoIRConfig(
+        n_iters=60,
+        batch_size=256,
+        n_lamb_sigma=(4, 4, 4),
+        n_lamb_sh=(4, 4, 4),
+        data_dim_color=6,
+        featureC=32,
+        N_voxel_init=20 ** 3,
+        N_voxel_final=24 ** 3,
+        upsamp_list=(20,),
+        update_AlphaMask_list=(20, 40),
+        step_ratio=2.0,
+        nSamples=48,
+        numLgtSGs=16,
+        envmap_h=4, envmap_w=8,
+        second_nSample=16,
+        app_cap_per_ray=8,
+        relight_ray_cap=16,
+        secondary_tile=256,
+        # lossy fast knobs, gated to iteration 30 (between events)
+        second_window=12,
+        second_window_back=4,
+        second_prepass_n=8,
+        coarse_dilate=3,
+        app_bake_reso=16,
+        fast_march_start=30,
+        vis_every=0, save_iters=0, N_vis=0,
+        progress_refresh_rate=10,
+    )
+    result = reconstruction(cfg, ds, log_dir=os.path.join(tmp_path, "log"))
+    assert np.isfinite(result.metrics_history[-1]["total_loss"])
+
+
