@@ -1,4 +1,10 @@
-"""tensoir_tpu — a TPU-native (JAX/XLA/Pallas) inverse-rendering framework.
+"""tensoir_tpu — a TPU-native (JAX/XLA) inverse-rendering framework.
+
+The compute path is XLA-native: the workload is gather/scatter row-count
+bound (BASELINE.md rooflines), and XLA's in-step scatters already run near
+the measured hardware plateau. A validated Pallas scatter-add kernel exists
+in the wings (`scripts/bench_pallas_scatter.py`, 99M rows/s microbenched)
+should a row-bound stage ever dominate again.
 
 A from-scratch re-design of the capabilities of TensoIR (CVPR 2023,
 "Tensorial Inverse Rendering") for TPU hardware:

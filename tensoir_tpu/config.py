@@ -242,8 +242,6 @@ class TensoIRConfig:
     mesh_data: int = 1
     # Compute dtype for MLP/matmul heavy ops ("float32" or "bfloat16").
     compute_dtype: str = "float32"
-    # Use the fused Pallas VM-sampling kernel where applicable.
-    use_pallas: bool = True
     seed: int = 20211202
 
     @property

@@ -21,6 +21,7 @@ from tensoir_tpu.models import field as F
 from tensoir_tpu.models import lighting
 from tensoir_tpu.render.train_render import render_train_batch
 from tensoir_tpu.utils import metrics as M
+from tensoir_tpu.utils.video import write_videos
 
 
 # canonical fast-march knobs (bench.py's adopted config; quality gates in
@@ -371,22 +372,10 @@ def evaluation_iter(
         if test_all and rgb_frames:
             vdir = os.path.join(save_path, "video")
             os.makedirs(vdir, exist_ok=True)
-            videos = [("rgb", rgb_frames), ("rgb_brdf", brdf_frames),
-                      ("render_normal_video", normal_frames)]
-            try:
-                for name, frames in videos:
-                    imageio.mimsave(os.path.join(vdir, f"{name}.mp4"),
-                                    np.stack(frames), fps=24, quality=8)
-            except Exception as e:  # no mp4 codec in this environment:
-                # fall back to animated GIF (PIL backend, always available)
-                print(f"[eval] mp4 export unavailable ({e}); writing GIFs")
-                try:
-                    for name, frames in videos:
-                        imageio.mimsave(os.path.join(vdir, f"{name}.gif"),
-                                        np.stack(frames), format="GIF",
-                                        duration=1000 // 24, loop=0)
-                except Exception as e2:
-                    print(f"[eval] gif export skipped: {e2}")
+            write_videos(vdir, [("rgb", rgb_frames),
+                                ("rgb_brdf", brdf_frames),
+                                ("render_normal_video", normal_frames)],
+                         tag="eval")
 
     return results
 
@@ -461,19 +450,6 @@ def evaluation_path(
         brdf_frames.append(brdf8)
         normal_frames.append(nrm8)
 
-    videos = [("rgb", rgb_frames), ("rgb_brdf", brdf_frames),
-              ("normal", normal_frames)]
-    try:
-        for name, frames in videos:
-            imageio.mimsave(os.path.join(save_path, f"{name}.mp4"),
-                            np.stack(frames), fps=24, quality=8)
-    except Exception as e:
-        print(f"[path] mp4 export unavailable ({e}); writing GIFs")
-        try:
-            for name, frames in videos:
-                imageio.mimsave(os.path.join(save_path, f"{name}.gif"),
-                                np.stack(frames), format="GIF",
-                                duration=1000 // 24, loop=0)
-        except Exception as e2:
-            print(f"[path] gif export skipped: {e2}")
+    write_videos(save_path, [("rgb", rgb_frames), ("rgb_brdf", brdf_frames),
+                             ("normal", normal_frames)], tag="path")
     return len(rgb_frames)

@@ -25,6 +25,7 @@ from tensoir_tpu.ops.rays import safe_l2_normalize
 from tensoir_tpu.render.primary import render_rays
 from tensoir_tpu.render.secondary import compute_transmittance
 from tensoir_tpu.utils import metrics as M
+from tensoir_tpu.utils.video import write_videos
 
 
 def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
@@ -46,7 +47,7 @@ def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
 
     Returns fn(params, scene, rays, key, rescale3) ->
       (relight_without_bg [B,3], relight_with_bg [B,3], acc [B],
-       albedo [B,3], roughness [B,1], normal [B,3], depth [B])."""
+       albedo [B,3], roughness [B,1], normal [B,3], depth [B], rgb [B,3])."""
 
     @jax.jit
     def chunk_fn(params, scene, rays, key, rescale3):
@@ -130,7 +131,7 @@ def make_relight_chunk_fn(cfg: F.FieldConfig, env: EnvironmentLight,
         relight_with_bg = acc_bin * relight_without_bg + (1.0 - acc_bin) * bg
 
         return (relight_without_bg, relight_with_bg, acc, albedo, roughness,
-                normal, out["depth_map"])
+                normal, out["depth_map"], out["rgb_map"])
 
     return chunk_fn
 
@@ -182,6 +183,14 @@ def relight_benchmark(
     psnrs = {n: [] for n in light_names}
     ssims = {n: [] for n in light_names}
     lpips_scores = {n: [] for n in light_names}
+    to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
+    split = getattr(dataset, "split", "test")
+    # video frame accumulators — the reference keeps uint8 G-buffer frames
+    # in memory (relight_importance.py:271-278,234-235) and rebuilds the
+    # per-light relight videos from the saved PNGs (:316-339); same here.
+    rgb_frames, normal_frames = [], []
+    albedo_frames, roughness_frames = [], []
+    view_dirs = []
 
     total_views = n_views or len(dataset)
     for vi in range(total_views):
@@ -189,35 +198,65 @@ def relight_benchmark(
         W, H = item["img_wh"]
         rays = np.asarray(item["rays"], np.float32)
         n = rays.shape[0]
+        view_dir = (os.path.join(save_path, f"{split}_{vi:03d}")
+                    if save_path else None)
+        gbuf = None
         for li, name in enumerate(light_names):
             gt = np.asarray(item["rgbs"][dataset.light_names.index(name)])
             outs_with, outs_wo = [], []
+            gb = [] if li == 0 else None
             for start in range(0, n, chunk):
                 r = rays[start:start + chunk]
                 pad = chunk - r.shape[0]
                 if pad:
                     r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
                 key, sub = jax.random.split(key)
-                wo, wbg, *_ = chunk_fns[name](params, scene, jnp.asarray(r),
-                                              sub, rescale3)
+                wo, wbg, *rest = chunk_fns[name](params, scene,
+                                                 jnp.asarray(r), sub,
+                                                 rescale3)
                 outs_wo.append(np.asarray(wo))
                 outs_with.append(np.asarray(wbg))
+                if gb is not None:
+                    # acc/albedo/roughness/normal/depth/rgb don't depend on
+                    # the held-out light; collect them on the first only
+                    gb.append([np.asarray(x) for x in rest])
+            if gb is not None:
+                gbuf = [np.concatenate(parts, 0)[:n]
+                        for parts in zip(*gb)]
             img_wo = np.concatenate(outs_wo, 0)[:n].reshape(H, W, 3)
             img_with = np.concatenate(outs_with, 0)[:n].reshape(H, W, 3)
             gt_img = gt.reshape(H, W, 3)
+            # metric image matches the reference: white-bg composite
+            # (relight_importance.py:212-219 computes vs relight_without_bg)
             psnrs[name].append(M.psnr(img_with, gt_img))
             ssims[name].append(M.rgb_ssim(img_with, gt_img))
             if compute_extra_metrics:
                 lp = M.rgb_lpips(gt_img, img_with)
                 if lp is not None:
                     lpips_scores[name].append(lp)
-            if save_path:
-                d = os.path.join(save_path, f"view_{vi:03d}", "relighting")
-                os.makedirs(d, exist_ok=True)
-                to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
-                imageio.imwrite(os.path.join(d, f"{name}.png"), to8(img_with))
-                imageio.imwrite(os.path.join(d, f"{name}_without_bg.png"),
-                                to8(img_wo))
+            if view_dir:
+                # reference layout: {split}_{idx:03d}/relighting_with_bg/
+                # {light}.png + relighting_without_bg/{light}.png
+                # (relight_importance.py:201-210)
+                for sub_d, img in (("relighting_with_bg", img_with),
+                                   ("relighting_without_bg", img_wo)):
+                    d = os.path.join(view_dir, sub_d)
+                    os.makedirs(d, exist_ok=True)
+                    imageio.imwrite(os.path.join(d, f"{name}.png"), to8(img))
+        if view_dir:
+            view_dirs.append(view_dir)
+            # per-view metric record (relight_importance.py:229-232)
+            with open(os.path.join(view_dir, "relighting_without_bg",
+                                   "relight_psnr.txt"), "w") as f:
+                for name in light_names:
+                    f.write(f"{name}: PSNR {psnrs[name][-1]}; "
+                            f"SSIM {ssims[name][-1]}\n")
+            _save_gbuffer_artifacts(
+                view_dir, gbuf, item, H, W,
+                near_far=getattr(dataset, "near_far", None),
+                rgb_frames=rgb_frames, normal_frames=normal_frames,
+                albedo_frames=albedo_frames,
+                roughness_frames=roughness_frames)
 
     results = {}
     for name in light_names:
@@ -230,4 +269,80 @@ def relight_benchmark(
             for name, r in results.items():
                 f.write(f"{name}: " + ", ".join(
                     f"{k}: {v:.4f}" for k, v in r.items()) + "\n")
+        write_videos(os.path.join(save_path, "video"),
+                     [("rgb_video", rgb_frames),
+                      ("render_normal_video", normal_frames),
+                      ("aligned_albedo_video", albedo_frames),
+                      ("roughness_video", roughness_frames)], tag="relight")
+        # per-light relight videos from the saved frames
+        # (relight_importance.py:316-339)
+        for sub_d, out_d in (("relighting_without_bg", "video_without_bg"),
+                             ("relighting_with_bg", "video_with_bg")):
+            vids = []
+            for name in light_names:
+                frames = [imageio.imread(os.path.join(vd, sub_d,
+                                                      f"{name}.png"))
+                          for vd in view_dirs]
+                vids.append((f"{name}_video", frames))
+            write_videos(os.path.join(save_path, out_d), vids, tag="relight")
     return results
+
+
+def _save_gbuffer_artifacts(view_dir, gbuf, item, H, W, *, near_far,
+                            rgb_frames, normal_frames, albedo_frames,
+                            roughness_frames):
+    """Per-view G-buffer artifact set (scripts/relight_importance.py:234-284):
+    rgb/depth/acc PNGs, GT-median-rescaled albedo (linear + gamma), GT albedo
+    (gamma), 3-channel roughness, shading normals — each with the acc map as
+    alpha — plus the uint8 video frames."""
+    import imageio.v2 as imageio
+
+    acc, albedo, roughness, normal, depth, rgb = gbuf
+    to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
+    acc8 = to8(acc.reshape(H, W, 1))
+    with_alpha = lambda img8: np.concatenate([img8, acc8], axis=2)
+
+    rgb8 = to8(rgb.reshape(H, W, 3))
+    imageio.imwrite(os.path.join(view_dir, "rgb.png"), rgb8)
+    rgb_frames.append(rgb8)
+    imageio.imwrite(os.path.join(view_dir, "acc.png"), acc8[..., 0])
+    if near_far is not None:
+        depth8 = M.visualize_depth(depth.reshape(H, W), near_far)
+        imageio.imwrite(os.path.join(view_dir, "depth.png"), depth8)
+
+    # albedo: per-view 3-channel median rescale against the GT albedo over
+    # the GT mask (relight_importance.py:247-271)
+    albedo = albedo.reshape(H, W, 3).copy()
+    gt_albedo = item.get("albedo")
+    gt_mask = item.get("rgbs_mask")
+    if gt_albedo is not None and gt_mask is not None:
+        gt_albedo = np.asarray(gt_albedo).reshape(H, W, 3)
+        m = np.asarray(gt_mask).reshape(H, W) > 0.5
+        if m.any():
+            ratio = np.median(
+                gt_albedo[m] / np.clip(albedo[m], 1e-6, None), axis=0)
+            albedo[m] = np.clip(ratio * albedo[m], 0.0, 1.0)
+        imageio.imwrite(os.path.join(view_dir,
+                                     "gt_albedo_gamma_corrected.png"),
+                        with_alpha(to8(gt_albedo ** (1 / 2.2))))
+    imageio.imwrite(os.path.join(view_dir, "albedo.png"),
+                    with_alpha(to8(albedo)))
+    albedo_gamma8 = to8(albedo ** (1 / 2.2))
+    imageio.imwrite(os.path.join(view_dir, "albedo_gamma_corrected.png"),
+                    with_alpha(albedo_gamma8))
+    albedo_frames.append(albedo_gamma8)
+
+    rough8 = to8(np.broadcast_to(roughness.reshape(H, W, 1), (H, W, 3)))
+    imageio.imwrite(os.path.join(view_dir, "roughness.png"),
+                    with_alpha(rough8))
+    roughness_frames.append(rough8)
+
+    nrm = normal.reshape(H, W, 3)
+    nrm = nrm / np.clip(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                        1e-12, None)
+    nrm8 = to8(nrm * 0.5 + 0.5)
+    imageio.imwrite(os.path.join(view_dir, "normal.png"), with_alpha(nrm8))
+    # video frame: normal over white where acc is low
+    # (relight_importance.py:297-308)
+    m3 = (acc.reshape(H, W, 1) > 0.5).astype(np.float32)
+    normal_frames.append((nrm8 * m3 + 255.0 * (1.0 - m3)).astype(np.uint8))

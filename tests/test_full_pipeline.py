@@ -225,7 +225,9 @@ def test_stop_file_graceful_early_exit(tmp_path, monkeypatch):
 
 @pytest.mark.slow
 def test_relight_benchmark_pipeline(tmp_path):
-    """EnvironmentLight + importance-sampled relighting on a tiny model."""
+    """EnvironmentLight + importance-sampled relighting on a tiny model,
+    asserting the reference artifact tree
+    (scripts/relight_importance.py:201-339)."""
     import jax
     from tensoir_tpu.data.hdr import write_hdr
     from tensoir_tpu.models.env_light import EnvironmentLight
@@ -254,6 +256,8 @@ def test_relight_benchmark_pipeline(tmp_path):
 
     class MiniRelightDS:
         light_names = ["bridge", "city"]
+        split = "test"
+        near_far = [2.0, 6.0]
 
         def __len__(self):
             return 1
@@ -263,6 +267,10 @@ def test_relight_benchmark_pipeline(tmp_path):
                                           img_wh=(16, 16))
             item = base[0]
             item["rgbs"] = np.stack([item["rgbs"][0]] * 2, 0)
+            # GT albedo + mask exercise the per-view median rescale
+            item["albedo"] = np.full_like(item["rgbs"][0], 0.5)
+            item["rgbs_mask"] = np.ones(
+                (item["rgbs"].shape[1],), np.float32)
             return item
 
     results = relight_benchmark(
@@ -274,6 +282,20 @@ def test_relight_benchmark_pipeline(tmp_path):
         assert np.isfinite(r["psnr"])
     assert os.path.exists(os.path.join(tmp_path, "relight",
                                        "relight_psnr.txt"))
+    # artifact parity with the reference output tree
+    vd = os.path.join(tmp_path, "relight", "test_000")
+    for sub in ("relighting_with_bg/bridge.png",
+                "relighting_without_bg/city.png",
+                "relighting_without_bg/relight_psnr.txt",
+                "rgb.png", "acc.png", "depth.png",
+                "albedo.png", "albedo_gamma_corrected.png",
+                "gt_albedo_gamma_corrected.png",
+                "roughness.png", "normal.png"):
+        assert os.path.exists(os.path.join(vd, sub)), sub
+    import imageio.v2 as imageio
+    assert imageio.imread(os.path.join(vd, "albedo.png")).shape[-1] == 4
+    for vdir in ("video", "video_without_bg", "video_with_bg"):
+        assert os.listdir(os.path.join(tmp_path, "relight", vdir)), vdir
 
 
 def test_fast_march_start_flip(tmp_path):
@@ -375,100 +397,4 @@ def test_fast_march_auto_flip(tmp_path):
     ms2 = [m for m in res2.metrics_history if m["iteration"] > 20]
     assert all(m.get("sec/window_resid_rel") == 1.0 for m in ms2)
     assert all(m.get("n_acc_masked") == 0.0 for m in ms2)
-
-
-@pytest.mark.slow
-def test_relight_benchmark_pipeline(tmp_path):
-    """EnvironmentLight + importance-sampled relighting on a tiny model."""
-    import jax
-    from tensoir_tpu.data.hdr import write_hdr
-    from tensoir_tpu.models.env_light import EnvironmentLight
-    from tensoir_tpu.models.field import FieldConfig, init_field_params
-    from tensoir_tpu.render.relight_pipeline import relight_benchmark
-
-    hdr_dir = os.path.join(tmp_path, "hdr")
-    os.makedirs(hdr_dir)
-    rng = np.random.default_rng(0)
-    for name in ("bridge", "city"):
-        write_hdr(os.path.join(hdr_dir, f"{name}.hdr"),
-                  rng.random((8, 16, 3)).astype(np.float32))
-    env = EnvironmentLight(hdr_dir)
-    assert set(env.light_names) == {"bridge", "city"}
-
-    d, rgb, pdf = env.sample_light("bridge", 4, 32, jax.random.PRNGKey(0))
-    assert d.shape == (4, 32, 3) and rgb.shape == (4, 32, 3)
-    assert np.all(np.asarray(pdf) > 0)
-
-    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4),
-                      app_dim=6, feature_c=32, num_sgs=16,
-                      envmap_h=4, envmap_w=8, step_ratio=2.0)
-    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
-    params, scene = init_field_params(jax.random.PRNGKey(0), cfg,
-                                      (16, 16, 16), aabb)
-
-    class MiniRelightDS:
-        light_names = ["bridge", "city"]
-
-        def __len__(self):
-            return 1
-
-        def __getitem__(self, i):
-            base = SyntheticSphereDataset(split="test", n_views=1,
-                                          img_wh=(16, 16))
-            item = base[0]
-            item["rgbs"] = np.stack([item["rgbs"][0]] * 2, 0)
-            return item
-
-    results = relight_benchmark(
-        cfg, params, scene, MiniRelightDS(), env, n_samples=24,
-        save_path=os.path.join(tmp_path, "relight"), chunk=64,
-        n_light_samples=16, second_n_sample=8, vis_tile=256)
-    assert set(results.keys()) == {"bridge", "city"}
-    for r in results.values():
-        assert np.isfinite(r["psnr"])
-    assert os.path.exists(os.path.join(tmp_path, "relight",
-                                       "relight_psnr.txt"))
-
-
-def test_fast_march_start_flip(tmp_path):
-    """fast_march_start keeps the lossy window/app-bake knobs OFF until
-    the configured iteration, then flips them on at a mid-run jit rebuild
-    WITHOUT resetting the optimizer state (config.py:fast_march_start —
-    the r3 multilight-collapse mitigation surface). The flip iteration
-    here is NOT a phase event, exercising the standalone rebuild."""
-    from tensoir_tpu.train.loop import reconstruction
-
-    ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
-    cfg = TensoIRConfig(
-        n_iters=60,
-        batch_size=256,
-        n_lamb_sigma=(4, 4, 4),
-        n_lamb_sh=(4, 4, 4),
-        data_dim_color=6,
-        featureC=32,
-        N_voxel_init=20 ** 3,
-        N_voxel_final=24 ** 3,
-        upsamp_list=(20,),
-        update_AlphaMask_list=(20, 40),
-        step_ratio=2.0,
-        nSamples=48,
-        numLgtSGs=16,
-        envmap_h=4, envmap_w=8,
-        second_nSample=16,
-        app_cap_per_ray=8,
-        relight_ray_cap=16,
-        secondary_tile=256,
-        # lossy fast knobs, gated to iteration 30 (between events)
-        second_window=12,
-        second_window_back=4,
-        second_prepass_n=8,
-        coarse_dilate=3,
-        app_bake_reso=16,
-        fast_march_start=30,
-        vis_every=0, save_iters=0, N_vis=0,
-        progress_refresh_rate=10,
-    )
-    result = reconstruction(cfg, ds, log_dir=os.path.join(tmp_path, "log"))
-    assert np.isfinite(result.metrics_history[-1]["total_loss"])
-
 
