@@ -66,7 +66,10 @@ def main(argv=None):
         chunk=cfg.batch_size, n_light_samples=512,
         second_n_sample=cfg.second_nSample,
         vis_tile=cfg.secondary_tile, rescale3=rescale3,
-        seed=cfg.seed, fast_vis=cfg.relight_fast_vis)
+        seed=cfg.seed, fast_vis=cfg.relight_fast_vis,
+        # LPIPS rows appear when converted weights are present
+        # (scripts/convert_lpips_weights.py; reference utils.py:69-81)
+        compute_extra_metrics=True)
     for name, r in results.items():
         print(f"{name}: {r}")
 
