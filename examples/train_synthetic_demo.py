@@ -32,6 +32,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--save_iters", type=int, default=0,
                         help="periodic full-state checkpoints (long runs)")
+    parser.add_argument("--resume", type=str, default="",
+                        help="full-state resume from a periodic/final ckpt "
+                             "written by --save_iters (optimizer state, RNG, "
+                             "phase schedule restored — loop.py resume_full); "
+                             "all other flags must match the original run")
     parser.add_argument("--bake_reso", type=int, default=0,
                         help="coarse secondary-visibility bake cap (0=full)")
     parser.add_argument("--window", type=int, default=0,
@@ -151,6 +156,8 @@ def main(argv=None):
         N_vis=0,
         save_iters=args.save_iters,
         progress_refresh_rate=50,
+        ckpt=args.resume or None,
+        resume_full=bool(args.resume),
     )
 
     train_ds = SyntheticShadowDataset(split="train", n_views=args.views,
