@@ -447,8 +447,13 @@ def reconstruction(
     # round boundary without killing the python (an axon SIGKILL
     # mid-claim wedges the tunnel; CLAUDE.md). The env var is identical
     # on every process (inherited from one launcher), so the collective
-    # agree() below is reached uniformly.
+    # agree() below is reached uniformly. When the env var is unset, a
+    # per-run `<log_dir>/STOP` file is honored instead, so a run whose
+    # launcher forgot the env var can still be preempted gracefully
+    # (process-0 observation broadcast by agree(), like the env path).
     stop_path = os.environ.get("TENSOIR_STOP_FILE", "")
+    if not stop_path and log_dir:
+        stop_path = os.path.join(log_dir, "STOP")
     stopped_early = False
     it = start_it - 1  # resume-at-completion: loop body may never run
     for it in range(start_it, n_iters):

@@ -222,6 +222,18 @@ def test_stop_file_graceful_early_exit(tmp_path, monkeypatch):
     its = [m["iteration"] for m in result_b.metrics_history]
     assert min(its) >= 1, "resume must continue from the stop iteration"
 
+    # default per-run stop file: with the env var UNSET, `<log_dir>/STOP`
+    # is honored — graceful preemption for runs whose launcher forgot
+    # TENSOIR_STOP_FILE
+    monkeypatch.delenv("TENSOIR_STOP_FILE")
+    log_dir2 = os.path.join(tmp_path, "run_stop_default")
+    os.makedirs(log_dir2)
+    with open(os.path.join(log_dir2, "STOP"), "w") as f:
+        f.write("stop")
+    result_c = reconstruction(cfg, ds, log_dir=log_dir2)
+    assert len(result_c.metrics_history) == 1
+    assert os.path.exists(os.path.join(log_dir2, "ckpt_final.npz"))
+
 
 @pytest.mark.slow
 def test_relight_benchmark_pipeline(tmp_path):
