@@ -60,6 +60,14 @@ except Exception as e:
 PY
 }
 
+gate "cap-only probe"
+echo "=== [0/3] ml_bisect CAP probe (cap 4096, NO fast knobs — decisive"
+echo "    after the r4 'bake' collapse; BASELINE.md matrix reading)"
+python examples/train_multilight_demo.py --iters 2000 \
+  --out ./log/ml_bisect_cap --window 0 --window_back 0 --compact 0 \
+  --app_bake 0 > /tmp/ml_bisect_cap.log 2>&1
+echo "exit: $?"; harvest_ml ml_bisect_cap cap_probe
+
 gate "auto-flip validation"
 echo "=== [1/3] multilight auto-flip demo (fast_march_start -1)"
 python examples/train_multilight_demo.py --iters 4000 \
