@@ -28,6 +28,10 @@ def main(argv=None):
                              "multilight collapse mitigation)")
     parser.add_argument("--relight_cap", type=int, default=4096,
                         help="reference-faithful: relight every masked ray")
+    parser.add_argument("--brdf_warmup", type=int, default=0,
+                        help="linear BRDF-weight ramp over the first N "
+                             "relight iters (collapse guard on compressed "
+                             "schedules; 0 = reference-exact)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override
@@ -79,6 +83,7 @@ def main(argv=None):
         secondary_compact_frac=0.5625,
         app_bake_reso=64,
         fast_march_start=args.fast_march_start,
+        rgb_brdf_warmup_iters=args.brdf_warmup,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,

@@ -41,6 +41,11 @@ def main(argv=None):
     parser.add_argument("--fast_march_start", type=int, default=0,
                         help="iteration at which the lossy fast-march "
                              "knobs activate (0 = from the start)")
+    parser.add_argument("--brdf_warmup", type=int, default=0,
+                        help="linear BRDF-weight ramp over the first N "
+                             "relight iters (collapse guard on compressed "
+                             "schedules — BASELINE.md r4 matrix reading; "
+                             "0 = reference-exact constant weight)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override
@@ -94,6 +99,7 @@ def main(argv=None):
         app_bake_reso=args.app_bake,
         secondary_stats=args.sec_stats,
         fast_march_start=args.fast_march_start,
+        rgb_brdf_warmup_iters=args.brdf_warmup,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,

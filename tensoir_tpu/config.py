@@ -106,6 +106,10 @@ class TensoIRConfig:
 
     # relighting (opt.py:146-198)
     rgb_brdf_weight: float = 0.1
+    # Linear BRDF-weight warmup over the first N relight iterations
+    # (0 = off, reference-exact). Collapse guard for compressed schedules
+    # where relight starts on a soft density (train/step.py LossWeights).
+    rgb_brdf_warmup_iters: int = 0
     scene_bbox: Optional[Tuple[float, ...]] = None
     second_near: float = 0.05
     second_far: float = 1.5

@@ -396,7 +396,8 @@ def reconstruction(
             normals_enhance_ratio=cfg.normals_loss_enhance_ratio,
             brdf_enhance_ratio=cfg.BRDF_loss_enhance_ratio,
             n_iters=n_iters, relight_start=relight_start,
-            lr_factor=lr_factor)
+            lr_factor=lr_factor,
+            rgb_brdf_warmup_iters=cfg.rgb_brdf_warmup_iters)
         return make_train_step(fcfg, optimizer, st, w, mesh=mesh), opt_state
 
     step_fn, opt_state = build_step(cur_lr_scale, at_iter=start_it)

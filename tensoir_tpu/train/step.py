@@ -41,6 +41,17 @@ class LossWeights:
     n_iters: int = 80000
     relight_start: int = 10000
     lr_factor: float = 1.0  # per-step TV decay (train_tensoIR.py:277,282)
+    # Linear ramp of the BRDF-loss weight over the first N relight iters
+    # (0 = off, reference-exact constant weight). Beyond-reference knob:
+    # the reference starts relight at iter 10k/80k on a HARD density
+    # (train_tensoIR.py:385-422); compressed schedules start it on a soft
+    # one, where full reference pressure (every masked ray relit,
+    # loss = full-batch mean, train_tensoIR_rotated_multi_lights.py:305)
+    # can flip rotation-tied multilight normals into the inverted basin
+    # (BASELINE.md r4 matrix reading). The ramp is traced from the step
+    # index — no extra recompile — and reaches the exact reference weight
+    # at relight_start + warmup.
+    rgb_brdf_warmup_iters: int = 0
 
 
 @dataclass(frozen=True)
@@ -150,7 +161,14 @@ def compute_loss(cfg: F.FieldConfig, params, scene, batch, key,
         rmask = ret["relight_computed_mask"][:, None].astype(rgb_gt.dtype)
         loss_brdf = (jnp.sum(rmask * (ret["rgb_with_brdf_map"] - rgb_gt) ** 2)
                      / jnp.maximum(jnp.sum(rmask) * 3.0, 1.0))
-        total = total + loss_brdf * w.rgb_brdf
+        brdf_w = w.rgb_brdf
+        if w.rgb_brdf_warmup_iters > 0:
+            # traced linear ramp (see LossWeights docstring); clip keeps it
+            # exact-reference from relight_start + warmup onward
+            brdf_w = brdf_w * jnp.clip(
+                (stepf - w.relight_start + 1.0) / w.rgb_brdf_warmup_iters,
+                0.0, 1.0)
+        total = total + loss_brdf * brdf_w
         metrics["loss_rgb_brdf"] = loss_brdf
 
         # exponential enhancement (train_tensoIR.py:291-292)

@@ -121,3 +121,38 @@ def test_normals_kinds_run():
             is_relight=True, white_bg=True, app_cap=4, relight_ray_cap=4,
             second_n_sample=8, secondary_tile=64, normal_gt=normal_gt)
         assert np.isfinite(np.asarray(out["normal_map"])).all(), kind
+
+
+def test_brdf_warmup_ramp():
+    """rgb_brdf_warmup_iters: the BRDF term enters the total with a traced
+    linear ramp — 0 before relight_start, the EXACT reference weight from
+    relight_start + warmup onward (collapse guard for compressed schedules;
+    BASELINE.md r4 matrix reading)."""
+    cfg, params, scene = _tiny_model()
+    rays = _rays()
+    batch = {
+        "rays": rays,
+        "rgbs": jnp.ones((rays.shape[0], 3)) * 0.5,
+        "light_idx": jnp.zeros(rays.shape[0], jnp.int32),
+    }
+    st = StepStatic(n_samples=24, is_relight=True, white_bg=True, app_cap=8,
+                    relight_ray_cap=8, second_n_sample=12, secondary_tile=64,
+                    deterministic=True)
+    base = dict(ortho=0.0, l1=0.0, tv_density=0.0, tv_app=0.0,
+                rgb_brdf=0.2, n_iters=100, relight_start=10)
+    w0 = LossWeights(**base)                            # constant weight
+    ww = LossWeights(**base, rgb_brdf_warmup_iters=20)  # 20-iter ramp
+
+    def total(w, it):
+        t, aux = compute_loss(cfg, params, scene, batch,
+                              jax.random.PRNGKey(2), jnp.asarray(it), st, w)
+        return float(t), float(aux["loss_rgb_brdf"])
+
+    for it, frac in ((10, 1.0 / 20), (19, 0.5), (29, 1.0), (60, 1.0)):
+        t0, b = total(w0, it)
+        tw, bw = total(ww, it)
+        assert np.isclose(b, bw, rtol=1e-6)          # loss METRIC unscaled
+        # ramp only changes the brdf contribution to the total
+        np.testing.assert_allclose(tw - (t0 - 0.2 * b),
+                                   0.2 * frac * b, rtol=2e-3,
+                                   err_msg=f"it={it}")
