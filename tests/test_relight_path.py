@@ -156,3 +156,31 @@ def test_brdf_warmup_ramp():
         np.testing.assert_allclose(tw - (t0 - 0.2 * b),
                                    0.2 * frac * b, rtol=2e-3,
                                    err_msg=f"it={it}")
+
+
+def test_brdf_loss_fullcap_is_reference_fullbatch_mean():
+    """At relight_ray_cap >= batch, the masked-mean BRDF loss equals the
+    reference's FULL-batch mean over rgb_with_brdf_map (every masked ray
+    relit, white background rows included —
+    train_tensoIR_rotated_multi_lights.py:305 + renderer.py:95). This pins
+    cap>=batch as the reference-faithful pressure (BASELINE.md r4)."""
+    cfg, params, scene = _tiny_model()
+    rays = _rays(24)
+    gt = jnp.ones((24, 3)) * 0.5
+    batch = {"rays": rays, "rgbs": gt,
+             "light_idx": jnp.zeros(24, jnp.int32)}
+    st = StepStatic(n_samples=24, is_relight=True, white_bg=True, app_cap=8,
+                    relight_ray_cap=24, second_n_sample=12,
+                    secondary_tile=64, deterministic=True)
+    w = LossWeights(ortho=0.0, l1=0.0, tv_density=0.0, tv_app=0.0,
+                    rgb_brdf=0.2, n_iters=100, relight_start=0)
+    _, aux = compute_loss(cfg, params, scene, batch, jax.random.PRNGKey(2),
+                          jnp.asarray(5), st, w)
+    out = render_train_batch(
+        cfg, params, scene, rays, batch["light_idx"],
+        n_samples=24, key=None, is_train=False,
+        is_relight=True, white_bg=True, app_cap=8, relight_ray_cap=24,
+        second_n_sample=12, secondary_tile=64)
+    ref_loss = float(jnp.mean((out["rgb_with_brdf_map"] - gt) ** 2))
+    np.testing.assert_allclose(float(aux["loss_rgb_brdf"]), ref_loss,
+                               rtol=1e-5)
