@@ -1,0 +1,122 @@
+"""CPU mini-reproduction of the multilight normal collapse (BASELINE.md r4).
+
+Runs the multilight shadow-scene reconstruction at toy scale twice —
+relight_cap == batch (reference-faithful full pressure) vs cap = batch/8
+(the r2 low-pressure regime) — entirely on CPU, so the collapse mechanism
+can be iterated on without the TPU tunnel. Optionally adds the
+rgb_brdf_warmup arm.
+
+Usage:
+  TENSOIR_PLATFORM=cpu python scripts/ml_collapse_cpu.py [--iters 1500]
+      [--arms full,low,warmup] [--out /tmp/ml_cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    from tensoir_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=1500)
+    parser.add_argument("--img", type=int, default=48)
+    parser.add_argument("--views", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--warmup", type=int, default=450)
+    parser.add_argument("--arms", type=str, default="full,low")
+    parser.add_argument("--out", type=str, default="/tmp/ml_cpu")
+    args = parser.parse_args(argv)
+
+    from tensoir_tpu.config import TensoIRConfig
+    from tensoir_tpu.data.synthetic import SyntheticShadowDataset
+    from tensoir_tpu.render.eval import evaluation_iter
+    from tensoir_tpu.train.loop import reconstruction
+
+    it = args.iters
+    arms = {
+        # (relight_cap, rgb_brdf_warmup_iters)
+        "full": (args.batch, 0),
+        "low": (args.batch // 8, 0),
+        "warmup": (args.batch, args.warmup),
+    }
+
+    train_ds = SyntheticShadowDataset(split="train", n_views=args.views,
+                                      img_wh=(args.img, args.img),
+                                      light_num=3)
+    test_ds = SyntheticShadowDataset(split="test", n_views=2,
+                                     img_wh=(args.img, args.img),
+                                     light_num=3)
+
+    results = {}
+    for arm in args.arms.split(","):
+        cap, warm = arms[arm]
+        cfg = TensoIRConfig(
+            expname=f"ml_cpu_{arm}",
+            basedir=os.path.join(args.out, arm),
+            n_iters=it,
+            batch_size=args.batch,
+            lr_decay_iters=it,
+            N_voxel_init=24 ** 3,
+            N_voxel_final=48 ** 3,
+            upsamp_list=(int(it * 0.3),),
+            update_AlphaMask_list=(int(it * 0.3), int(it * 0.45)),
+            n_lamb_sigma=(8, 8, 8),
+            n_lamb_sh=(24, 24, 24),
+            light_rotation=("000", "120", "240"),
+            light_kind="sg",
+            numLgtSGs=32,
+            envmap_h=4,
+            envmap_w=8,
+            second_nSample=32,
+            nSamples=128,
+            rgb_brdf_weight=0.2,
+            normals_diff_weight=0.0005,
+            normals_orientation_weight=0.001,
+            albedo_smoothness_loss_weight=0.001,
+            roughness_smoothness_loss_weight=0.001,
+            L1_weight_inital=8e-5,
+            L1_weight_rest=4e-5,
+            TV_weight_density=0.05,
+            TV_weight_app=0.005,
+            app_cap_per_ray=16,
+            march_cap_primary=96,
+            relight_ray_cap=cap,
+            rgb_brdf_warmup_iters=warm,
+            secondary_tile=4096,
+            vis_every=0, N_vis=0, save_iters=0,
+            progress_refresh_rate=100,
+        )
+        t0 = time.time()
+        res = reconstruction(
+            cfg, train_ds, log_dir=os.path.join(args.out, arm),
+            progress_cb=lambda i, m: print(
+                f"[{arm}] it {i:05d} psnr {m.get('psnr', 0):.2f} "
+                f"brdf {m.get('loss_rgb_brdf', 0):.5f}", flush=True))
+        metrics = evaluation_iter(
+            res.fcfg, res.params, res.scene, test_ds,
+            n_samples=res.n_samples,
+            save_path=None, chunk=2048, test_all=True,
+            second_n_sample=cfg.second_nSample,
+            secondary_tile=cfg.secondary_tile)
+        mae = next(v["normal_mae_deg"] for v in metrics.values()
+                   if isinstance(v, dict))
+        brdf = {k: round(v["psnr_nvs_brdf"], 2) for k, v in metrics.items()
+                if isinstance(v, dict)}
+        results[arm] = {"normal_mae_deg": round(mae, 2), "brdf": brdf,
+                        "cap": cap, "warmup": warm,
+                        "train_s": round(time.time() - t0, 1)}
+        print(json.dumps({arm: results[arm]}), flush=True)
+
+    print("FINAL:", json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
