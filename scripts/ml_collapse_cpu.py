@@ -100,16 +100,17 @@ def main(argv=None):
             progress_cb=lambda i, m: print(
                 f"[{arm}] it {i:05d} psnr {m.get('psnr', 0):.2f} "
                 f"brdf {m.get('loss_rgb_brdf', 0):.5f}", flush=True))
-        metrics = evaluation_iter(
-            res.fcfg, res.params, res.scene, test_ds,
-            n_samples=res.n_samples,
-            save_path=None, chunk=2048, test_all=True,
-            second_n_sample=cfg.second_nSample,
-            secondary_tile=cfg.secondary_tile)
-        mae = next(v["normal_mae_deg"] for v in metrics.values()
-                   if isinstance(v, dict))
-        brdf = {k: round(v["psnr_nvs_brdf"], 2) for k, v in metrics.items()
-                if isinstance(v, dict)}
+        per_light = {}
+        for li in range(3):
+            per_light[f"light{li}"] = evaluation_iter(
+                res.fcfg, res.params, res.scene, test_ds,
+                n_samples=res.n_samples, light_idx_to_test=li,
+                save_path=None, chunk=2048, test_all=True,
+                second_n_sample=cfg.second_nSample,
+                secondary_tile=cfg.secondary_tile)
+        mae = per_light["light0"]["normal_mae_deg"]
+        brdf = {k: round(v["psnr_nvs_brdf"], 2)
+                for k, v in per_light.items()}
         results[arm] = {"normal_mae_deg": round(mae, 2), "brdf": brdf,
                         "cap": cap, "warmup": warm,
                         "train_s": round(time.time() - t0, 1)}
