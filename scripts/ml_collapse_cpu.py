@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--views", type=int, default=8)
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--warmup", type=int, default=450)
+    parser.add_argument("--relight_frac", type=float, default=0.3,
+                        help="relight start as a fraction of iters "
+                             "(update_AlphaMask_list[0])")
     parser.add_argument("--arms", type=str, default="full,low")
     parser.add_argument("--out", type=str, default="/tmp/ml_cpu")
     args = parser.parse_args(argv)
@@ -66,8 +69,10 @@ def main(argv=None):
             lr_decay_iters=it,
             N_voxel_init=24 ** 3,
             N_voxel_final=48 ** 3,
-            upsamp_list=(int(it * 0.3),),
-            update_AlphaMask_list=(int(it * 0.3), int(it * 0.45)),
+            upsamp_list=(int(it * args.relight_frac),),
+            update_AlphaMask_list=(int(it * args.relight_frac),
+                                   int(it * min(args.relight_frac + 0.15,
+                                                0.9))),
             n_lamb_sigma=(8, 8, 8),
             n_lamb_sh=(24, 24, 24),
             light_rotation=("000", "120", "240"),
