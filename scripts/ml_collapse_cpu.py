@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("--relight_frac", type=float, default=0.3,
                         help="relight start as a fraction of iters "
                              "(update_AlphaMask_list[0])")
+    parser.add_argument("--grow_at", type=float, default=0.6,
+                        help="'grow' arm: fraction of iters at which the "
+                             "cap jumps to full reference pressure")
     parser.add_argument("--arms", type=str, default="full,low")
     parser.add_argument("--out", type=str, default="/tmp/ml_cpu")
     args = parser.parse_args(argv)
@@ -49,6 +52,11 @@ def main(argv=None):
         "full": (args.batch, 0),
         "low": (args.batch // 8, 0),
         "warmup": (args.batch, args.warmup),
+        # confidence curriculum: small cap (top-k by acc = clean core
+        # surface rays) until grow_at, then FULL reference pressure via a
+        # full-state resume (Adam/schedule preserved; the cap is a static
+        # knob so the rebuild machinery handles the shape change)
+        "grow": (args.batch // 8, 0),
     }
 
     train_ds = SyntheticShadowDataset(split="train", n_views=args.views,
@@ -58,13 +66,13 @@ def main(argv=None):
                                      img_wh=(args.img, args.img),
                                      light_num=3)
 
-    results = {}
-    for arm in args.arms.split(","):
-        cap, warm = arms[arm]
-        cfg = TensoIRConfig(
+    def make_cfg(arm, cap, warm, n_iters=None, ckpt=None):
+        return TensoIRConfig(
             expname=f"ml_cpu_{arm}",
             basedir=os.path.join(args.out, arm),
-            n_iters=it,
+            ckpt=ckpt,
+            resume_full=ckpt is not None,
+            n_iters=n_iters if n_iters is not None else it,
             batch_size=args.batch,
             lr_decay_iters=it,
             N_voxel_init=24 ** 3,
@@ -99,12 +107,33 @@ def main(argv=None):
             vis_every=0, N_vis=0, save_iters=0,
             progress_refresh_rate=100,
         )
+
+    results = {}
+    for arm in args.arms.split(","):
+        cap, warm = arms[arm]
         t0 = time.time()
-        res = reconstruction(
-            cfg, train_ds, log_dir=os.path.join(args.out, arm),
-            progress_cb=lambda i, m: print(
-                f"[{arm}] it {i:05d} psnr {m.get('psnr', 0):.2f} "
-                f"brdf {m.get('loss_rgb_brdf', 0):.5f}", flush=True))
+
+        def cb(i, m, arm=arm):
+            print(f"[{arm}] it {i:05d} psnr {m.get('psnr', 0):.2f} "
+                  f"brdf {m.get('loss_rgb_brdf', 0):.5f}", flush=True)
+
+        if arm == "grow":
+            # segment 1: small cap (confidence core) with the FULL-run
+            # phase schedule, ended at grow_at; segment 2 resumes
+            # full-state at full reference pressure
+            seg_dir = os.path.join(args.out, arm)
+            cfg1 = make_cfg(arm, cap, warm, n_iters=int(it * args.grow_at))
+            reconstruction(cfg1, train_ds, log_dir=seg_dir,
+                           progress_cb=cb)
+            cfg = make_cfg(arm, args.batch, warm,
+                           ckpt=os.path.join(seg_dir, "ckpt_final.npz"))
+            res = reconstruction(cfg, train_ds, log_dir=seg_dir + "_seg2",
+                                 progress_cb=cb)
+        else:
+            cfg = make_cfg(arm, cap, warm)
+            res = reconstruction(
+                cfg, train_ds, log_dir=os.path.join(args.out, arm),
+                progress_cb=cb)
         per_light = {}
         for li in range(3):
             per_light[f"light{li}"] = evaluation_iter(
