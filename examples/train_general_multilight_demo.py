@@ -32,6 +32,11 @@ def main(argv=None):
                         help="linear BRDF-weight ramp over the first N "
                              "relight iters (collapse guard on compressed "
                              "schedules; 0 = reference-exact)")
+    parser.add_argument("--cap_start", type=int, default=0,
+                        help="relight-cap curriculum: relight only this "
+                             "many highest-acc rays until the "
+                             "fast_march_start flip, then the full cap "
+                             "(the r4 collapse fix; 0 = off)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override
@@ -84,6 +89,7 @@ def main(argv=None):
         app_bake_reso=64,
         fast_march_start=args.fast_march_start,
         rgb_brdf_warmup_iters=args.brdf_warmup,
+        relight_cap_start=args.cap_start,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,

@@ -46,6 +46,11 @@ def main(argv=None):
                              "relight iters (collapse guard on compressed "
                              "schedules — BASELINE.md r4 matrix reading; "
                              "0 = reference-exact constant weight)")
+    parser.add_argument("--cap_start", type=int, default=0,
+                        help="relight-cap curriculum: relight only this "
+                             "many highest-acc rays until the "
+                             "fast_march_start flip, then the full cap "
+                             "(the r4 collapse fix; 0 = off)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override
@@ -100,6 +105,7 @@ def main(argv=None):
         secondary_stats=args.sec_stats,
         fast_march_start=args.fast_march_start,
         rgb_brdf_warmup_iters=args.brdf_warmup,
+        relight_cap_start=args.cap_start,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,

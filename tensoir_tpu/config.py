@@ -110,6 +110,11 @@ class TensoIRConfig:
     # (0 = off, reference-exact). Collapse guard for compressed schedules
     # where relight starts on a soft density (train/step.py LossWeights).
     rgb_brdf_warmup_iters: int = 0
+    # Relight-cap curriculum (0 = off): until the fast_march_start flip,
+    # relight only this many highest-acc rays (the clean core surface);
+    # the flip grows the cap to relight_ray_cap = full reference pressure.
+    # The r4 multilight-collapse fix (train/loop.py build_step).
+    relight_cap_start: int = 0
     scene_bbox: Optional[Tuple[float, ...]] = None
     second_near: float = 0.05
     second_far: float = 1.5

@@ -317,6 +317,9 @@ def reconstruction(
     # later phase rebuilds keep the fast knobs on
     fast_auto = cfg.fast_march_start == -1
     fast_flipped = False
+    # effective relight cap of the CURRENT jit phase (curriculum-aware);
+    # read by make_meter for honest visibility-ray crediting
+    cur_relight_cap = [cfg.relight_ray_cap]
 
     def build_step(lr_scale: float, at_iter: int = 0, reuse_opt=None):
         # lossy fast-march knobs (window cull, baked app feature) stay OFF
@@ -327,6 +330,20 @@ def reconstruction(
         eff_window = cfg.second_window if fast_on else 0
         eff_window_back = cfg.second_window_back if fast_on else 0
         eff_app_bake = cfg.app_bake_reso if fast_on else 0
+        # relight-cap curriculum (r4 multilight-collapse fix, BASELINE.md
+        # matrix): before the fast-march flip the relight branch trains on
+        # only the relight_cap_start highest-acc rays — the clean core
+        # surface whose BRDF gradients cannot drag a still-soft density
+        # into the inverted-normal basin. The flip (fixed iteration or the
+        # measured-hardness auto criterion) then grows the cap to the full
+        # reference pressure (every masked ray, relight_ray_cap). The jump
+        # is a static-shape change handled by this same Adam-preserving
+        # rebuild. 0 = off (reference-exact constant cap).
+        eff_relight_cap = (cfg.relight_cap_start
+                           if (cfg.relight_cap_start > 0 and relight
+                               and not fast_on)
+                           else cfg.relight_ray_cap)
+        cur_relight_cap[0] = eff_relight_cap
         eff_group = 0
         if relight and 0 < eff_window < cfg.second_nSample:
             # conservativeness contract, re-checked against the CURRENT
@@ -380,7 +397,7 @@ def reconstruction(
                                       if relight and not fast_on else 0),
             secondary_stats=bool(cfg.secondary_stats) or (
                 fast_auto and relight and not fast_on),
-            relight_ray_cap=cfg.relight_ray_cap,
+            relight_ray_cap=eff_relight_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,
             secondary_tile=cfg.secondary_tile,
@@ -421,7 +438,7 @@ def reconstruction(
         # min(measured acc-mask count, cap) x dirs. Until a count is
         # observed, credit 0 visibility rays rather than the full cap.
         if relight and n_masked is not None:
-            vis = (min(n_masked, cfg.relight_ray_cap)
+            vis = (min(n_masked, cur_relight_cap[0])
                    * cfg.envmap_h * cfg.envmap_w)
         else:
             vis = 0

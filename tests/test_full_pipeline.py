@@ -315,7 +315,9 @@ def test_fast_march_start_flip(tmp_path):
     the configured iteration, then flips them on at a mid-run jit rebuild
     WITHOUT resetting the optimizer state (config.py:fast_march_start —
     the r3 multilight-collapse mitigation surface). The flip iteration
-    here is NOT a phase event, exercising the standalone rebuild."""
+    here is NOT a phase event, exercising the standalone rebuild.
+    relight_cap_start rides the same flip: the relight branch runs at the
+    core cap before it and the full cap after (the r4 collapse fix)."""
     from tensoir_tpu.train.loop import reconstruction
 
     ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
@@ -345,11 +347,16 @@ def test_fast_march_start_flip(tmp_path):
         coarse_dilate=3,
         app_bake_reso=16,
         fast_march_start=30,
+        relight_cap_start=4,
         vis_every=0, save_iters=0, N_vis=0,
         progress_refresh_rate=10,
     )
     result = reconstruction(cfg, ds, log_dir=os.path.join(tmp_path, "log"))
     assert np.isfinite(result.metrics_history[-1]["total_loss"])
+    # both static-shape phases (core cap 4 pre-flip, full cap 16 after)
+    # compiled and ran to completion
+    its = [m["iteration"] for m in result.metrics_history]
+    assert max(its) >= 50
 
 
 @pytest.mark.slow
