@@ -71,6 +71,21 @@ def main():
                            # r2 A/B); the g4 grouped secondary march from
                            # the same A/B was NOT adopted (gate F BRDF
                            # -0.31 dB, log/synthetic_demo_r3_gateF)
+    APP_CAP_SECONDARY = 12 # app samples per selected secondary pair +
+    PAIR_FRAC = 0.4375     # per-tile app pair cap — the r3 trace-guided
+                           # row cut (acap12_pf44: -140 ms interleaved,
+                           # +0.0002 loss, BASELINE.md cap table), gated
+                           # at 5k on the demo scene in r4: NVS 38.50 /
+                           # BRDF 37.28 / MAE 2.505 / albedo 20.84 (at or
+                           # above the r3 gate class) with ZERO pair/
+                           # compact overflow (log/synthetic_demo_r4_
+                           # capgate). On THIS saturated bench scene the
+                           # pair cap drops weight-bearing pairs
+                           # (sec/app_pair_overflow_frac ~0.47 measured
+                           # r3) — quality claims on solid scenes must
+                           # quote that overflow (VERDICT r3 weak #2);
+                           # the step is loss-convergent on the demo
+                           # scenes where quality is measured.
 
     if platform == "cpu":  # CI / local smoke fallback
         B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 256
@@ -124,6 +139,8 @@ def main():
                     coarse_dilate=DILATE,
                     secondary_compact_frac=COMPACT,
                     app_bake_reso=APP_BAKE,
+                    second_app_cap=APP_CAP_SECONDARY,
+                    app_pair_frac=PAIR_FRAC,
                     second_n_sample=SECOND_N, secondary_tile=TILE)
     w = LossWeights(ortho=0.0, l1=4e-5, tv_density=0.0, tv_app=0.0,
                     lr_factor=0.999971, n_iters=80000, relight_start=10000)
