@@ -22,21 +22,23 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="./log/general_multilight_demo")
     parser.add_argument("--img", type=int, default=96)
     parser.add_argument("--views", type=int, default=16)
-    parser.add_argument("--fast_march_start", type=int, default=0,
+    parser.add_argument("--fast_march_start", type=int, default=2400,
                         help="iteration at which the lossy fast-march "
-                             "knobs activate (0 = from the start; the r3 "
-                             "multilight collapse mitigation)")
+                             "knobs AND the full relight cap activate "
+                             "(0 = from the start). Default 2400 = 0.6x "
+                             "the default 4000 iters — the r4-proven "
+                             "curriculum flip (BASELINE.md)")
     parser.add_argument("--relight_cap", type=int, default=4096,
                         help="reference-faithful: relight every masked ray")
     parser.add_argument("--brdf_warmup", type=int, default=0,
                         help="linear BRDF-weight ramp over the first N "
                              "relight iters (collapse guard on compressed "
                              "schedules; 0 = reference-exact)")
-    parser.add_argument("--cap_start", type=int, default=0,
+    parser.add_argument("--cap_start", type=int, default=512,
                         help="relight-cap curriculum: relight only this "
                              "many highest-acc rays until the "
                              "fast_march_start flip, then the full cap "
-                             "(the r4 collapse fix; 0 = off)")
+                             "(the r4-proven collapse fix; 0 = off)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override

@@ -38,19 +38,24 @@ def main(argv=None):
     parser.add_argument("--app_bake", type=int, default=64)
     parser.add_argument("--bake_reso", type=int, default=128)
     parser.add_argument("--sec_stats", type=int, default=0)
-    parser.add_argument("--fast_march_start", type=int, default=0,
+    parser.add_argument("--fast_march_start", type=int, default=2400,
                         help="iteration at which the lossy fast-march "
-                             "knobs activate (0 = from the start)")
+                             "knobs AND the full relight cap activate "
+                             "(0 = from the start). Default 2400 = 0.6x "
+                             "the default 4000 iters — the r4-proven "
+                             "curriculum flip (BASELINE.md multilight "
+                             "fix); scale it if you change --iters")
     parser.add_argument("--brdf_warmup", type=int, default=0,
                         help="linear BRDF-weight ramp over the first N "
                              "relight iters (collapse guard on compressed "
                              "schedules — BASELINE.md r4 matrix reading; "
                              "0 = reference-exact constant weight)")
-    parser.add_argument("--cap_start", type=int, default=0,
+    parser.add_argument("--cap_start", type=int, default=512,
                         help="relight-cap curriculum: relight only this "
                              "many highest-acc rays until the "
                              "fast_march_start flip, then the full cap "
-                             "(the r4 collapse fix; 0 = off)")
+                             "(the r4-PROVEN collapse fix — MAE 4.54 at "
+                             "cap 4096, BASELINE.md; 0 = off)")
     args = parser.parse_args(argv)
 
     from tensoir_tpu.utils.platform import apply_platform_override
