@@ -391,6 +391,8 @@ def test_fast_march_auto_flip(tmp_path):
         relight_ray_cap=16,
         secondary_tile=256,
         fast_march_start=-1,
+        relight_cap_start=4,  # curriculum must compose with auto mode:
+        # cap 4 during the probe phase, full cap 16 after the auto flip
         vis_every=0, save_iters=0, N_vis=0,
         progress_refresh_rate=10,
     )
