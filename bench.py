@@ -235,6 +235,7 @@ def main():
         march_group=0, app_cap=APP_CAP, relight_cap=RELIGHT_CAP,
         n_dirs=ENV_H * ENV_W, compact_frac=COMPACT, tile=TILE,
         window=WINDOW, prepass_n=PREPASS,
+        second_app_cap=APP_CAP_SECONDARY, app_pair_frac=PAIR_FRAC,
         bake_reso=st.secondary_bake_reso)
     row_budget_util = rows.predicted_step_s() / step_s if step_s > 0 else 0.0
 

@@ -53,6 +53,12 @@ GATHER_ROWS_PER_S = 84e6          # small tables (<~20MB)
 GATHER_ROWS_PER_S_MID = 71e6     # ~20-100MB tables (128^3 bf16 bake)
 GATHER_ROWS_PER_S_BIG = 46e6     # >~100MB tables
 SCATTER_ROWS_PER_S = 15e6        # add-scatter VJP, mid of 11-20M band
+# In-step XProf SELF-time measurement (r3, log/trace_r3 via
+# scripts/analyze_trace.py): the window-march gathers on the corner-packed
+# bf16 sigma bake run at ~250M rows/s — narrow bf16 rows beat the
+# wide-row microbench plateau above. Used for the march term; the
+# microbench anchors stay for the wide-row paths.
+MARCH_GATHER_ROWS_PER_S = 250e6
 
 
 def gather_rate_for_table(table_bytes: float) -> float:
@@ -107,8 +113,7 @@ class StepRows:
 
     def predicted_step_s(self) -> float:
         return (self.gather_rows / GATHER_ROWS_PER_S
-                + self.window_rows
-                / gather_rate_for_table(self.window_table_bytes)
+                + self.window_rows / MARCH_GATHER_ROWS_PER_S
                 + self.scatter_rows / SCATTER_ROWS_PER_S)
 
 
@@ -126,6 +131,7 @@ def gather_rows_per_step(
     window: int,
     prepass_n: int,
     second_app_cap: int = 16,
+    app_pair_frac: float = 0.0,
     app_bake: bool = True,
     bake_reso: int = 128,
     bake_bytes_per_val: int = 2,   # the packed sigma bake is bf16
@@ -171,6 +177,10 @@ def gather_rows_per_step(
     else:
         marched = total_pairs
         pair_cap = tile // 4
+    if app_pair_frac > 0.0:
+        # explicit per-tile app pair cap (secondary.py app stage;
+        # the r3/r4 acap row cut)
+        pair_cap = int(tile * app_pair_frac)
     n_tiles = -(-marched // tile)
     b["secondary_prepass"] = marched * prepass_n
     b["secondary_window_march"] = marched * window
