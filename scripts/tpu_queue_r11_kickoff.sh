@@ -40,6 +40,9 @@ gate () {
 }
 
 RESUME=""
+# r4 left a head-start run in this dir, ended via its per-run STOP file —
+# remove the stale STOP or the resumed loop stops at its first refresh
+rm -f ./log/synthetic_demo_r5_20k/STOP
 LAST=$(ls -t ./log/synthetic_demo_r5_20k/ckpt_*.npz 2>/dev/null | head -1)
 [ -n "$LAST" ] && RESUME="--resume $LAST" && echo "resuming 20k from $LAST"
 
