@@ -22,12 +22,12 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="./log/general_multilight_demo")
     parser.add_argument("--img", type=int, default=96)
     parser.add_argument("--views", type=int, default=16)
-    parser.add_argument("--fast_march_start", type=int, default=2400,
+    parser.add_argument("--fast_march_start", type=int, default=None,
                         help="iteration at which the lossy fast-march "
                              "knobs AND the full relight cap activate "
-                             "(0 = from the start). Default 2400 = 0.6x "
-                             "the default 4000 iters — the r4-proven "
-                             "curriculum flip (BASELINE.md)")
+                             "(0 = from the start). Default: 0.6 x "
+                             "--iters — the r4-proven curriculum flip "
+                             "(BASELINE.md)")
     parser.add_argument("--relight_cap", type=int, default=4096,
                         help="reference-faithful: relight every masked ray")
     parser.add_argument("--brdf_warmup", type=int, default=0,
@@ -89,7 +89,9 @@ def main(argv=None):
         coarse_dilate=3,
         secondary_compact_frac=0.5625,
         app_bake_reso=64,
-        fast_march_start=args.fast_march_start,
+        fast_march_start=(args.fast_march_start
+                          if args.fast_march_start is not None
+                          else int(args.iters * 0.6)),
         rgb_brdf_warmup_iters=args.brdf_warmup,
         relight_cap_start=args.cap_start,
         secondary_tile=32768,

@@ -38,13 +38,13 @@ def main(argv=None):
     parser.add_argument("--app_bake", type=int, default=64)
     parser.add_argument("--bake_reso", type=int, default=128)
     parser.add_argument("--sec_stats", type=int, default=0)
-    parser.add_argument("--fast_march_start", type=int, default=2400,
+    parser.add_argument("--fast_march_start", type=int, default=None,
                         help="iteration at which the lossy fast-march "
                              "knobs AND the full relight cap activate "
-                             "(0 = from the start). Default 2400 = 0.6x "
-                             "the default 4000 iters — the r4-proven "
-                             "curriculum flip (BASELINE.md multilight "
-                             "fix); scale it if you change --iters")
+                             "(0 = from the start). Default: 0.6 x "
+                             "--iters — the r4-proven curriculum flip "
+                             "(BASELINE.md multilight fix; robust on the "
+                             "[0.6, 0.7] plateau)")
     parser.add_argument("--brdf_warmup", type=int, default=0,
                         help="linear BRDF-weight ramp over the first N "
                              "relight iters (collapse guard on compressed "
@@ -108,7 +108,9 @@ def main(argv=None):
         secondary_compact_frac=args.compact,
         app_bake_reso=args.app_bake,
         secondary_stats=args.sec_stats,
-        fast_march_start=args.fast_march_start,
+        fast_march_start=(args.fast_march_start
+                          if args.fast_march_start is not None
+                          else int(it * 0.6)),
         rgb_brdf_warmup_iters=args.brdf_warmup,
         relight_cap_start=args.cap_start,
         secondary_tile=32768,

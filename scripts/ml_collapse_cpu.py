@@ -146,7 +146,12 @@ def main(argv=None):
         brdf = {k: round(v["psnr_nvs_brdf"], 2)
                 for k, v in per_light.items()}
         results[arm] = {"normal_mae_deg": round(mae, 2), "brdf": brdf,
-                        "cap": cap, "warmup": warm,
+                        "cap_start": cap,
+                        # grow trains segment 2 (and is evaluated) at the
+                        # FULL cap — record both so the harvest rows are
+                        # not read as constant-low-pressure runs
+                        "cap_final": args.batch if arm == "grow" else cap,
+                        "warmup": warm,
                         "train_s": round(time.time() - t0, 1)}
         print(json.dumps({arm: results[arm]}), flush=True)
 

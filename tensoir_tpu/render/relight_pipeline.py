@@ -204,7 +204,9 @@ def relight_benchmark(
         for li, name in enumerate(light_names):
             gt = np.asarray(item["rgbs"][dataset.light_names.index(name)])
             outs_with, outs_wo = [], []
-            gb = [] if li == 0 else None
+            # G-buffer artifacts are only written under save_path — skip
+            # the per-chunk device->host transfers in metric-only runs
+            gb = [] if (li == 0 and view_dir) else None
             for start in range(0, n, chunk):
                 r = rays[start:start + chunk]
                 pad = chunk - r.shape[0]
@@ -226,12 +228,14 @@ def relight_benchmark(
             img_wo = np.concatenate(outs_wo, 0)[:n].reshape(H, W, 3)
             img_with = np.concatenate(outs_with, 0)[:n].reshape(H, W, 3)
             gt_img = gt.reshape(H, W, 3)
-            # metric image matches the reference: white-bg composite
-            # (relight_importance.py:212-219 computes vs relight_without_bg)
-            psnrs[name].append(M.psnr(img_with, gt_img))
-            ssims[name].append(M.rgb_ssim(img_with, gt_img))
+            # reference protocol: metrics are computed on the WHITE-bg
+            # relight image (relight_map_without_bg), not the env-bg
+            # composite — relight_importance.py:212-221; the GT PNGs are
+            # white-composited (load_rgba_white_composite)
+            psnrs[name].append(M.psnr(img_wo, gt_img))
+            ssims[name].append(M.rgb_ssim(img_wo, gt_img))
             if compute_extra_metrics:
-                lp = M.rgb_lpips(gt_img, img_with)
+                lp = M.rgb_lpips(gt_img, img_wo)
                 if lp is not None:
                     lpips_scores[name].append(lp)
             if view_dir:

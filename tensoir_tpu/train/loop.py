@@ -320,6 +320,7 @@ def reconstruction(
     # effective relight cap of the CURRENT jit phase (curriculum-aware);
     # read by make_meter for honest visibility-ray crediting
     cur_relight_cap = [cfg.relight_ray_cap]
+    curriculum_warned = [False]
 
     def build_step(lr_scale: float, at_iter: int = 0, reuse_opt=None):
         # lossy fast-march knobs (window cull, baked app feature) stay OFF
@@ -339,11 +340,27 @@ def reconstruction(
         # reference pressure (every masked ray, relight_ray_cap). The jump
         # is a static-shape change handled by this same Adam-preserving
         # rebuild. 0 = off (reference-exact constant cap).
-        eff_relight_cap = (cfg.relight_cap_start
+        eff_relight_cap = (min(cfg.relight_cap_start, cfg.relight_ray_cap)
                            if (cfg.relight_cap_start > 0 and relight
                                and not fast_on)
                            else cfg.relight_ray_cap)
         cur_relight_cap[0] = eff_relight_cap
+        if cfg.relight_cap_start > 0 and relight and is_main \
+                and not curriculum_warned[0]:
+            # an inert curriculum silently reproduces either the collapse
+            # regime or a never-full-pressure run — say so loudly once
+            if 0 <= cfg.fast_march_start <= relight_start:
+                curriculum_warned[0] = True
+                print("[loop] WARNING: relight_cap_start is INERT — "
+                      f"fast_march_start {cfg.fast_march_start} <= relight "
+                      f"start {relight_start}; full pressure lands on the "
+                      "soft density (the r4 collapse regime)", flush=True)
+            elif cfg.fast_march_start >= n_iters:
+                curriculum_warned[0] = True
+                print("[loop] WARNING: full relight cap never activates — "
+                      f"fast_march_start {cfg.fast_march_start} >= n_iters "
+                      f"{n_iters}; the run stays at the core cap "
+                      f"{cfg.relight_cap_start}", flush=True)
         eff_group = 0
         if relight and 0 < eff_window < cfg.second_nSample:
             # conservativeness contract, re-checked against the CURRENT
@@ -472,6 +489,16 @@ def reconstruction(
     stop_path = os.environ.get("TENSOIR_STOP_FILE", "")
     if not stop_path and log_dir:
         stop_path = os.path.join(log_dir, "STOP")
+        # a STOP left behind by a PREVIOUS run in this dir must not
+        # silently abort this one at its first refresh (the resume-flow
+        # landmine): clear anything that predates this run. The env-var
+        # path is exempt — operators pre-create those deliberately (the
+        # r6s4-style queue watchdogs) and own their lifecycle.
+        if is_main and os.path.exists(stop_path):
+            print(f"[loop] clearing stale stop file {stop_path} "
+                  "(predates this run)", flush=True)
+            os.remove(stop_path)
+        multihost.barrier("stale_stop_clear")
     stopped_early = False
     it = start_it - 1  # resume-at-completion: loop body may never run
     for it in range(start_it, n_iters):
@@ -494,6 +521,9 @@ def reconstruction(
             m = {k: float(v) for k, v in metrics.items()}
             m["iteration"] = it
             m["elapsed_s"] = time.time() - t_start
+            if relight:
+                # curriculum observability: the cap this phase relit at
+                m["relight_cap_eff"] = float(cur_relight_cap[0])
             # float() above syncs device->host, so the meter window is real
             m["rays_per_s"] = meter.report()["rays_per_s"]
             # restart the window with the MEASURED acc-mask count so the

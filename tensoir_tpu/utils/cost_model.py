@@ -50,6 +50,9 @@ DEFAULT_PEAKS = ("v5e (assumed)", 197e12, 819e9)
 # coarse bake (field.py:_bake_masked_dense measurement note), ~46M at a
 # 127MB table.
 GATHER_ROWS_PER_S = 84e6          # small tables (<~20MB)
+# microbench anchors for mid/large tables, retained as recorded
+# measurements (the in-step march term is priced by the trace-measured
+# rate below, which beat these wide-row plateaus on narrow bf16 rows)
 GATHER_ROWS_PER_S_MID = 71e6     # ~20-100MB tables (128^3 bf16 bake)
 GATHER_ROWS_PER_S_BIG = 46e6     # >~100MB tables
 SCATTER_ROWS_PER_S = 15e6        # add-scatter VJP, mid of 11-20M band
@@ -59,17 +62,6 @@ SCATTER_ROWS_PER_S = 15e6        # add-scatter VJP, mid of 11-20M band
 # wide-row microbench plateau above. Used for the march term; the
 # microbench anchors stay for the wide-row paths.
 MARCH_GATHER_ROWS_PER_S = 250e6
-
-
-def gather_rate_for_table(table_bytes: float) -> float:
-    """Measured gather row rate as a function of table size (anchors
-    above; step function between the measured points)."""
-    mb = table_bytes / 1e6
-    if mb > 100.0:
-        return GATHER_ROWS_PER_S_BIG
-    if mb > 20.0:
-        return GATHER_ROWS_PER_S_MID
-    return GATHER_ROWS_PER_S
 
 
 def device_peaks(device) -> Tuple[str, float, float]:
@@ -107,7 +99,9 @@ class StepRows:
     """Analytic gather/scatter row counts for one training step."""
     gather_rows: float           # small-table gather rows (fwd, no-grad ok)
     window_rows: float           # fine-march rows on the big baked table
-    window_table_bytes: float    # size of that table (sets its gather rate)
+    window_table_bytes: float    # size of the baked sigma table (reported
+    # for context; the march term is priced at the trace-measured
+    # MARCH_GATHER_ROWS_PER_S, which was rate-insensitive to this size)
     scatter_rows: float          # VJP scatter-add rows (differentiable path)
     breakdown: Dict[str, float]
 

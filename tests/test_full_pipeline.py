@@ -223,15 +223,29 @@ def test_stop_file_graceful_early_exit(tmp_path, monkeypatch):
     assert min(its) >= 1, "resume must continue from the stop iteration"
 
     # default per-run stop file: with the env var UNSET, `<log_dir>/STOP`
-    # is honored — graceful preemption for runs whose launcher forgot
-    # TENSOIR_STOP_FILE
+    # is honored when created DURING the run — graceful preemption for
+    # runs whose launcher forgot TENSOIR_STOP_FILE. A STOP left behind by
+    # a previous run (created before start) is cleared at startup instead
+    # of silently aborting the new run (the resume-flow landmine).
     monkeypatch.delenv("TENSOIR_STOP_FILE")
     log_dir2 = os.path.join(tmp_path, "run_stop_default")
     os.makedirs(log_dir2)
-    with open(os.path.join(log_dir2, "STOP"), "w") as f:
-        f.write("stop")
-    result_c = reconstruction(cfg, ds, log_dir=log_dir2)
-    assert len(result_c.metrics_history) == 1
+    stale = os.path.join(log_dir2, "STOP")
+    with open(stale, "w") as f:
+        f.write("stale")  # pre-created: must be CLEARED, not honored
+
+    def touch_stop_mid_run(it, m):
+        if it >= 10 and not os.path.exists(stale):
+            with open(stale, "w") as f:
+                f.write("stop")
+
+    result_c = reconstruction(cfg, ds, log_dir=log_dir2,
+                              progress_cb=touch_stop_mid_run)
+    its_c = [m["iteration"] for m in result_c.metrics_history]
+    # survived the stale file (ran past iter 0) AND stopped soon after
+    # the mid-run touch (well before n_iters=500)
+    assert max(its_c) >= 10
+    assert max(its_c) <= 30
     assert os.path.exists(os.path.join(log_dir2, "ckpt_final.npz"))
 
 
@@ -353,10 +367,14 @@ def test_fast_march_start_flip(tmp_path):
     )
     result = reconstruction(cfg, ds, log_dir=os.path.join(tmp_path, "log"))
     assert np.isfinite(result.metrics_history[-1]["total_loss"])
-    # both static-shape phases (core cap 4 pre-flip, full cap 16 after)
-    # compiled and ran to completion
-    its = [m["iteration"] for m in result.metrics_history]
-    assert max(its) >= 50
+    # curriculum observable: the relight phase ran at the core cap 4
+    # before the flip and the full cap 16 after it
+    caps = {m["iteration"]: m.get("relight_cap_eff")
+            for m in result.metrics_history if "relight_cap_eff" in m}
+    # the flip rebuild runs in the phase block AFTER iter 30's refresh,
+    # so iter 30 still reports the core cap
+    assert any(v == 4.0 for it, v in caps.items() if it <= 30), caps
+    assert any(v == 16.0 for it, v in caps.items() if it >= 40), caps
 
 
 @pytest.mark.slow
