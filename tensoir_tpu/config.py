@@ -242,6 +242,18 @@ class TensoIRConfig:
     # Auto-flip threshold on sec/window_resid_rel (collapsed multilight
     # runs measured 0.58; hardened single-light densities read ~0).
     fast_march_auto_thres: float = 0.02
+    # PLATEAU criterion for the auto flip (r4 finding: a ground plane
+    # keeps ~3% of marched weight outside the window, so the residual
+    # floors at ~0.031-0.034 — above thres — and the absolute criterion
+    # never fires). If the residual has not improved on its running best
+    # by rel_improve for `patience` ITERATIONS, the current value sits at
+    # that best (within the same band), and the best is below `ceiling`,
+    # the density is judged as hard as this scene gets and the flip
+    # fires. The ceiling guards the soft-density collapse regime (0.58
+    # measured); patience 0 disables the plateau path entirely.
+    fast_march_auto_patience: int = 500
+    fast_march_auto_rel_improve: float = 0.02
+    fast_march_auto_ceiling: float = 0.15
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

@@ -317,6 +317,10 @@ def reconstruction(
     # later phase rebuilds keep the fast knobs on
     fast_auto = cfg.fast_march_start == -1
     fast_flipped = False
+    # plateau tracker for the auto flip (config.fast_march_auto_patience):
+    # running best residual and the iteration it was last improved at
+    auto_best_resid = float("inf")
+    auto_best_it = -1
     # effective relight cap of the CURRENT jit phase (curriculum-aware);
     # read by make_meter for honest visibility-ray crediting
     cur_relight_cap = [cfg.relight_ray_cap]
@@ -536,23 +540,46 @@ def reconstruction(
                 logger.log(it, m)
             if progress_cb:
                 progress_cb(it, m)
-            if (fast_auto and relight and not fast_flipped
-                    and m.get("sec/window_resid_rel", float("inf"))
-                    < cfg.fast_march_auto_thres):
-                # measured density-hardness criterion met: the configured
-                # window now truncates < thres of the marched weight mass,
-                # so the lossy knobs are safe — flip them on (same
-                # Adam-preserving rebuild as the fixed-iteration flip).
-                # psum'd metrics are process-identical, so every process
-                # takes this branch at the same iteration.
-                fast_flipped = True
-                if is_main:
-                    print(f"[loop] fast-march AUTO flip at iter {it}: "
-                          f"window_resid_rel "
-                          f"{m['sec/window_resid_rel']:.4f} < "
-                          f"{cfg.fast_march_auto_thres}", flush=True)
-                step_fn, _ = build_step(cur_lr_scale, at_iter=it,
-                                        reuse_opt=opt_state)
+            if fast_auto and relight and not fast_flipped:
+                # measured density-hardness criteria (psum'd metrics are
+                # process-identical, so every process takes the same
+                # branch at the same iteration):
+                #   1. absolute: the configured window now truncates
+                #      < thres of the marched weight mass;
+                #   2. plateau: the residual sits at a running best that
+                #      has stopped improving — the scene's own floor
+                #      (ground planes hold it at ~0.03, above thres) —
+                #      and that floor is below the soft-density ceiling.
+                resid = m.get("sec/window_resid_rel", float("inf"))
+                flip_why = ""
+                if resid < cfg.fast_march_auto_thres:
+                    flip_why = (f"window_resid_rel {resid:.4f} < "
+                                f"{cfg.fast_march_auto_thres}")
+                elif cfg.fast_march_auto_patience > 0 and np.isfinite(resid):
+                    band = 1.0 - cfg.fast_march_auto_rel_improve
+                    if resid < auto_best_resid * band:
+                        auto_best_resid, auto_best_it = resid, it
+                    elif (auto_best_it >= 0
+                          and it - auto_best_it
+                          >= cfg.fast_march_auto_patience
+                          and auto_best_resid < cfg.fast_march_auto_ceiling
+                          and resid <= auto_best_resid / band):
+                        # at the floor (not on a noise spike above it)
+                        flip_why = (
+                            f"plateau: window_resid_rel {resid:.4f} at "
+                            f"best {auto_best_resid:.4f} with no "
+                            f">{cfg.fast_march_auto_rel_improve:.0%} "
+                            f"improvement for {it - auto_best_it} iters "
+                            f"(ceiling {cfg.fast_march_auto_ceiling})")
+                if flip_why:
+                    # flip the lossy knobs on (same Adam-preserving
+                    # rebuild as the fixed-iteration flip)
+                    fast_flipped = True
+                    if is_main:
+                        print(f"[loop] fast-march AUTO flip at iter {it}: "
+                              f"{flip_why}", flush=True)
+                    step_fn, _ = build_step(cur_lr_scale, at_iter=it,
+                                            reuse_opt=opt_state)
             # process-0's file observation, broadcast — independent
             # per-process checks could break at different iterations and
             # deadlock the ckpt_final barrier below

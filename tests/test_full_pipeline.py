@@ -437,3 +437,28 @@ def test_fast_march_auto_flip(tmp_path):
     assert all(m.get("sec/window_resid_rel") == 1.0 for m in ms2)
     assert all(m.get("n_acc_masked") == 0.0 for m in ms2)
 
+    # Case C — PLATEAU flip: absolute threshold impossible (0.0), but the
+    # constant 1.0 residual is a plateau; with the ceiling raised above it
+    # and a short patience, the plateau criterion fires (first refresh
+    # sets the running best, the next non-improving refresh past patience
+    # flips) and the probe is compiled out afterwards.
+    cfg3 = TensoIRConfig(**base, fast_march_auto_thres=0.0,
+                         fast_march_auto_patience=5,
+                         fast_march_auto_ceiling=2.0)
+    res3 = reconstruction(cfg3, ds, log_dir=os.path.join(tmp_path, "plat"))
+    ms3 = [m for m in res3.metrics_history if m["iteration"] > 20]
+    assert "sec/window_resid_rel" in ms3[0]
+    assert "sec/window_resid_rel" not in ms3[-1], \
+        "plateau criterion should have flipped and disabled the probe"
+    assert np.isfinite(res3.metrics_history[-1]["total_loss"])
+
+    # Case D — ceiling guard: the same plateau must NOT flip when the
+    # running best (1.0) sits above the soft-density ceiling (default
+    # 0.15) — this is exactly the collapse regime the ceiling protects.
+    cfg4 = TensoIRConfig(**base, fast_march_auto_thres=0.0,
+                         fast_march_auto_patience=5)
+    res4 = reconstruction(cfg4, ds, log_dir=os.path.join(tmp_path, "ceil"))
+    ms4 = [m for m in res4.metrics_history if m["iteration"] > 20]
+    assert all("sec/window_resid_rel" in m for m in ms4), \
+        "above-ceiling plateau must hold the exact march to the end"
+
