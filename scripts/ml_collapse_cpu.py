@@ -57,6 +57,13 @@ def main(argv=None):
         # full-state resume (Adam/schedule preserved; the cap is a static
         # knob so the rebuild machinery handles the shape change)
         "grow": (args.batch // 8, 0),
+        # in-loop curriculum + AUTO flip (fast_march_start=-1) with the
+        # PLATEAU criterion: the exact march probes what a toy-scale
+        # window would truncate; the flip must fire at the scene's
+        # residual floor (not the absolute 0.02 threshold, which ground
+        # planes never clear) and grow the cap to full pressure.
+        # Tunnel-free rehearsal of the r12 on-chip validation.
+        "auto": (args.batch, 0),
     }
 
     train_ds = SyntheticShadowDataset(split="train", n_views=args.views,
@@ -66,8 +73,9 @@ def main(argv=None):
                                      img_wh=(args.img, args.img),
                                      light_num=3)
 
-    def make_cfg(arm, cap, warm, n_iters=None, ckpt=None):
+    def make_cfg(arm, cap, warm, n_iters=None, ckpt=None, **extra):
         return TensoIRConfig(
+            **extra,
             expname=f"ml_cpu_{arm}",
             basedir=os.path.join(args.out, arm),
             ckpt=ckpt,
@@ -129,6 +137,23 @@ def main(argv=None):
                            ckpt=os.path.join(seg_dir, "ckpt_final.npz"))
             res = reconstruction(cfg, train_ds, log_dir=seg_dir + "_seg2",
                                  progress_cb=cb)
+        elif arm == "auto":
+            # toy-scale fast-march knobs sized to second_nSample=32
+            # (canonical ratios: window/nSample 0.5, back 1/4 of window;
+            # prepass 12 / dilate 3 = the demo-scene contract-legal pair)
+            cfg = make_cfg(
+                arm, cap, warm,
+                relight_cap_start=args.batch // 8,
+                fast_march_start=-1,
+                # patience scaled to the compressed toy schedule
+                # (500 default is sized for 4-5k-iter demos)
+                fast_march_auto_patience=200,
+                second_window=16, second_window_back=4,
+                second_prepass_n=12, coarse_dilate=3,
+                secondary_stats=1)
+            res = reconstruction(
+                cfg, train_ds, log_dir=os.path.join(args.out, arm),
+                progress_cb=cb)
         else:
             cfg = make_cfg(arm, cap, warm)
             res = reconstruction(
