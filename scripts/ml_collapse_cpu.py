@@ -74,8 +74,10 @@ def main(argv=None):
                                      light_num=3)
 
     def make_cfg(arm, cap, warm, n_iters=None, ckpt=None, **extra):
-        return TensoIRConfig(
-            **extra,
+        # extra is an intentional OVERRIDE channel: defaults first, then
+        # extra wins — **extra-first splatting raised 'multiple values'
+        # on any key that collides with an explicit default
+        kw = dict(
             expname=f"ml_cpu_{arm}",
             basedir=os.path.join(args.out, arm),
             ckpt=ckpt,
@@ -115,6 +117,8 @@ def main(argv=None):
             vis_every=0, N_vis=0, save_iters=0,
             progress_refresh_rate=100,
         )
+        kw.update(extra)
+        return TensoIRConfig(**kw)
 
     results = {}
     for arm in args.arms.split(","):

@@ -563,6 +563,7 @@ def reconstruction(
                           and it - auto_best_it
                           >= cfg.fast_march_auto_patience
                           and auto_best_resid < cfg.fast_march_auto_ceiling
+                          and resid < cfg.fast_march_auto_ceiling
                           and resid <= auto_best_resid / band):
                         # at the floor (not on a noise spike above it)
                         flip_why = (
@@ -652,6 +653,13 @@ def reconstruction(
                 params = replicate(mesh, params)
                 scene = replicate(mesh, scene)
                 opt_state = replicate(mesh, opt_state)
+
+        if rebuilt_this_it or it in update_am_list:
+            # a phase rebuild / alpha-mask refresh perturbs the density, so
+            # plateau patience must be re-measured on the new grid — stale
+            # pre-rebuild patience would let the auto flip fire at the first
+            # refresh whose residual re-enters the old best band
+            auto_best_resid, auto_best_it = float("inf"), -1
 
         if (relight and cfg.fast_march_start > 0
                 and it == cfg.fast_march_start and not rebuilt_this_it):
