@@ -64,6 +64,15 @@ def main(argv=None):
         # planes never clear) and grow the cap to full pressure.
         # Tunnel-free rehearsal of the r12 on-chip validation.
         "auto": (args.batch, 0),
+        # ---- general-multilight gap study (VERDICT r4 #6) ----
+        # demo-scale gap: general (per-light SGs) MAE 7.94 vs rotated
+        # 4.54 under the same curriculum. All gen/rot arms run the SAME
+        # in-loop curriculum (cap/8 core -> full at 0.6x + toy fast-march
+        # knobs) so 'rot' is the control that must reproduce the gap.
+        "rot": (args.batch, 0),
+        "gen": (args.batch, 0),        # per-light SGs, stock lr/sg-count
+        "gen_lr3": (args.batch, 0),    # light lr x3 (1/L gradient signal)
+        "gen_sg2": (args.batch, 0),    # 2x SGs per light
     }
 
     train_ds = SyntheticShadowDataset(split="train", n_views=args.views,
@@ -141,6 +150,26 @@ def main(argv=None):
                            ckpt=os.path.join(seg_dir, "ckpt_final.npz"))
             res = reconstruction(cfg, train_ds, log_dir=seg_dir + "_seg2",
                                  progress_cb=cb)
+        elif arm in ("rot", "gen", "gen_lr3", "gen_sg2"):
+            # fixed 0.6x-iters flip (the r4-proven demo curriculum) with
+            # the toy-scale fast-march knobs; general arms swap the shared
+            # rotated SG set for independent per-light sets via
+            # light_name_list (loop.py:151 -> FieldConfig.per_light_sg)
+            extra = dict(
+                relight_cap_start=args.batch // 8,
+                fast_march_start=int(it * args.grow_at),
+                second_window=16, second_window_back=4,
+                second_prepass_n=12, coarse_dilate=3)
+            if arm != "rot":
+                extra["light_name_list"] = ("l0", "l1", "l2")
+            if arm == "gen_lr3":
+                extra["lr_light"] = 3e-3
+            if arm == "gen_sg2":
+                extra["numLgtSGs"] = 64
+            cfg = make_cfg(arm, cap, warm, **extra)
+            res = reconstruction(
+                cfg, train_ds, log_dir=os.path.join(args.out, arm),
+                progress_cb=cb)
         elif arm == "auto":
             # toy-scale fast-march knobs sized to second_nSample=32
             # (canonical ratios: window/nSample 0.5, back 1/4 of window;

@@ -36,6 +36,11 @@ class TensoIRConfig:
     # learning rates (opt.py:44-53)
     lr_init: float = 0.02
     lr_basis: float = 1e-3
+    # light-param lr — the reference hardcodes 1e-3 (train_tensoIR.py
+    # optimizer group for lgtSGs); exposed here because per-light SG sets
+    # (general multi-lights) each see only 1/L of the ray gradient signal,
+    # so the general setting may want it scaled (BASELINE.md r5 gap study)
+    lr_light: float = 1e-3
     lr_decay_iters: int = -1
     lr_decay_target_ratio: float = 0.1
     lr_upsample_reset: int = 1

@@ -382,8 +382,12 @@ def reconstruction(
             eff_pgroup = resolve_primary_march_group(
                 cfg, scene["aabb"], F.grid_size_of(params),
                 fcfg.step_ratio)
+        # lr_light deliberately NOT lr_scale'd: the reference hardcodes the
+        # light group at 0.001 in get_optparam_groups regardless of the
+        # rebuild scale (tensoRF_rotated_lights.py:40-45)
         optimizer = make_optimizer(params, cfg.lr_init * lr_scale,
-                                   cfg.lr_basis * lr_scale, lr_factor)
+                                   cfg.lr_basis * lr_scale, lr_factor,
+                                   lr_light=cfg.lr_light)
         # reuse_opt: a knob flip that changes no parameter shapes must not
         # reset the Adam moments / schedule (optax states are pytrees
         # independent of the optimizer fn identity)
