@@ -462,3 +462,18 @@ def test_fast_march_auto_flip(tmp_path):
     assert all("sec/window_resid_rel" in m for m in ms4), \
         "above-ceiling plateau must hold the exact march to the end"
 
+    # Case E — rebuild reset (ADVICE r4): a phase event (second alpha-mask
+    # refresh at iter 40) must reset the plateau tracker, so patience is
+    # re-measured on the perturbed field. Refreshes land at 30/40/50/59;
+    # with patience 15 the stale tracker would flip at 50 (20 iters since
+    # the best at 30), but the reset at 40 restarts the clock (best re-set
+    # at 50, only 9 elapsed by 59) and the probe survives to the end.
+    cfg5 = TensoIRConfig(**{**base, "update_AlphaMask_list": (20, 40)},
+                         fast_march_auto_thres=0.0,
+                         fast_march_auto_patience=15,
+                         fast_march_auto_ceiling=2.0)
+    res5 = reconstruction(cfg5, ds, log_dir=os.path.join(tmp_path, "reset"))
+    ms5 = [m for m in res5.metrics_history if m["iteration"] > 20]
+    assert all("sec/window_resid_rel" in m for m in ms5), \
+        "phase rebuild must re-arm plateau patience (no stale-clock flip)"
+
