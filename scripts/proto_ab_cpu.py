@@ -53,6 +53,11 @@ def main(argv=None):
                      second_prepass_n=12, coarse_dilate=3,
                      secondary_bake_reso=32, app_bake_reso=16),
         "exact": dict(),
+        # knob isolation for the albedo tax (r5: fast-vs-exact read
+        # albedo -0.89 dB, the one above-noise delta — which knob?)
+        "bake": dict(secondary_bake_reso=32, app_bake_reso=16),
+        "win": dict(second_window=16, second_window_back=4,
+                    second_prepass_n=12, coarse_dilate=3),
     }
 
     train_ds = SyntheticShadowDataset(split="train", n_views=args.views,
@@ -122,11 +127,12 @@ def main(argv=None):
         }
         print(json.dumps({arm: results[arm]}), flush=True)
 
-    if len(results) == 2 and "fast" in results and "exact" in results:
-        delta = {k: round(results["fast"][k] - results["exact"][k], 2)
-                 for k in ("psnr_nvs", "psnr_nvs_brdf", "normal_mae_deg",
-                           "psnr_albedo_single")}
-        results["fast_minus_exact"] = delta
+    if "exact" in results:
+        for arm in [a for a in list(results) if a != "exact"]:
+            results[f"{arm}_minus_exact"] = {
+                k: round(results[arm][k] - results["exact"][k], 2)
+                for k in ("psnr_nvs", "psnr_nvs_brdf", "normal_mae_deg",
+                          "psnr_albedo_single")}
     print("FINAL:", json.dumps(results), flush=True)
 
 
