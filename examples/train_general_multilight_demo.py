@@ -34,6 +34,10 @@ def main(argv=None):
                         help="linear BRDF-weight ramp over the first N "
                              "relight iters (collapse guard on compressed "
                              "schedules; 0 = reference-exact)")
+    parser.add_argument("--lr_light", type=float, default=1e-3,
+                        help="light-group lr (reference hardcodes 1e-3; "
+                             "the r5 gap study scales it by the light "
+                             "count for per-light SG sets)")
     parser.add_argument("--cap_start", type=int, default=512,
                         help="relight-cap curriculum: relight only this "
                              "many highest-acc rays until the "
@@ -94,6 +98,7 @@ def main(argv=None):
                           else int(args.iters * 0.6)),
         rgb_brdf_warmup_iters=args.brdf_warmup,
         relight_cap_start=args.cap_start,
+        lr_light=args.lr_light,
         secondary_tile=32768,
         vis_every=0, N_vis=0, save_iters=0,
         progress_refresh_rate=50,
