@@ -73,6 +73,8 @@ def main(argv=None):
         "gen": (args.batch, 0),        # per-light SGs, stock lr/sg-count
         "gen_lr3": (args.batch, 0),    # light lr x3 (1/L gradient signal)
         "gen_sg2": (args.batch, 0),    # 2x SGs per light
+        "gen_lr2": (args.batch, 0),    # bracket: lr x2
+        "gen_lr5": (args.batch, 0),    # bracket: lr x5 (over-scaling?)
     }
 
     train_ds = SyntheticShadowDataset(split="train", n_views=args.views,
@@ -150,7 +152,7 @@ def main(argv=None):
                            ckpt=os.path.join(seg_dir, "ckpt_final.npz"))
             res = reconstruction(cfg, train_ds, log_dir=seg_dir + "_seg2",
                                  progress_cb=cb)
-        elif arm in ("rot", "gen", "gen_lr3", "gen_sg2"):
+        elif arm.startswith(("rot", "gen")):
             # fixed 0.6x-iters flip (the r4-proven demo curriculum) with
             # the toy-scale fast-march knobs; general arms swap the shared
             # rotated SG set for independent per-light sets via
@@ -162,8 +164,8 @@ def main(argv=None):
                 second_prepass_n=12, coarse_dilate=3)
             if arm != "rot":
                 extra["light_name_list"] = ("l0", "l1", "l2")
-            if arm == "gen_lr3":
-                extra["lr_light"] = 3e-3
+            if arm.startswith("gen_lr"):
+                extra["lr_light"] = 1e-3 * float(arm[len("gen_lr"):])
             if arm == "gen_sg2":
                 extra["numLgtSGs"] = 64
             cfg = make_cfg(arm, cap, warm, **extra)
