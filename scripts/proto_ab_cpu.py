@@ -58,6 +58,13 @@ def main(argv=None):
         "bake": dict(secondary_bake_reso=32, app_bake_reso=16),
         "win": dict(second_window=16, second_window_back=4,
                     second_prepass_n=12, coarse_dilate=3),
+        # exact-finish recovery arm: full fast stack, knobs flip back OFF
+        # for the last 15% (config.py:fast_march_end) — does the albedo
+        # tax anneal away under an exact final phase?
+        "fastend": dict(second_window=16, second_window_back=4,
+                        second_prepass_n=12, coarse_dilate=3,
+                        secondary_bake_reso=32, app_bake_reso=16,
+                        fast_march_end=int(it * 0.85)),
     }
 
     train_ds = SyntheticShadowDataset(split="train", n_views=args.views,

@@ -244,6 +244,17 @@ class TensoIRConfig:
     # progress refresh where it falls below fast_march_auto_thres — the
     # hand-tuned iteration becomes a measured density-hardness criterion.
     fast_march_start: int = 0
+    # Exact-finish (0 = off): at this iteration the lossy fast-march knobs
+    # flip back OFF for the remainder of the run while the relight cap
+    # stays at FULL reference pressure — i.e. the final phase trains under
+    # the reference's exact forward model (renderer.py:225-250 semantics).
+    # Motivation: the r5 CPU protocol A/B measured a distributed ~-0.9 dB
+    # albedo tax from training under the lossy secondary forward
+    # (BASELINE.md knob isolation); an exact final phase is the candidate
+    # recovery. Composes with fast_march_start (fast window in between)
+    # and with auto mode (past fast_march_end the knobs are off whether or
+    # not the auto flip ever fired, and the cap is full regardless).
+    fast_march_end: int = 0
     # Auto-flip threshold on sec/window_resid_rel (collapsed multilight
     # runs measured 0.58; hardened single-light densities read ~0).
     fast_march_auto_thres: float = 0.02

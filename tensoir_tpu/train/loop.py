@@ -330,8 +330,13 @@ def reconstruction(
         # lossy fast-march knobs (window cull, baked app feature) stay OFF
         # until fast_march_start — on a soft early-relight density the
         # window truncates real transmittance/indirect (config.py note)
-        fast_on = (fast_flipped if fast_auto
-                   else at_iter >= cfg.fast_march_start)
+        # exact-finish (config.py:fast_march_end): past it the knobs are
+        # exact again but the run is AT full pressure (reference end state)
+        past_end = (cfg.fast_march_end > 0
+                    and at_iter >= cfg.fast_march_end)
+        past_start = (fast_flipped if fast_auto
+                      else at_iter >= cfg.fast_march_start) or past_end
+        fast_on = past_start and not past_end
         eff_window = cfg.second_window if fast_on else 0
         eff_window_back = cfg.second_window_back if fast_on else 0
         eff_app_bake = cfg.app_bake_reso if fast_on else 0
@@ -346,7 +351,7 @@ def reconstruction(
         # rebuild. 0 = off (reference-exact constant cap).
         eff_relight_cap = (min(cfg.relight_cap_start, cfg.relight_ray_cap)
                            if (cfg.relight_cap_start > 0 and relight
-                               and not fast_on)
+                               and not past_start)
                            else cfg.relight_ray_cap)
         cur_relight_cap[0] = eff_relight_cap
         if cfg.relight_cap_start > 0 and relight and is_main \
@@ -417,11 +422,11 @@ def reconstruction(
             # window WOULD truncate; auto mode needs the telemetry on to
             # make its flip decision regardless of cfg.secondary_stats
             second_window_probe=(cfg.second_window
-                                 if relight and not fast_on else 0),
+                                 if relight and not past_start else 0),
             second_window_probe_back=(cfg.second_window_back
-                                      if relight and not fast_on else 0),
+                                      if relight and not past_start else 0),
             secondary_stats=bool(cfg.secondary_stats) or (
-                fast_auto and relight and not fast_on),
+                fast_auto and relight and not past_start),
             relight_ray_cap=eff_relight_cap,
             second_n_sample=cfg.second_nSample,
             second_near=cfg.second_near, second_far=cfg.second_far,
@@ -544,7 +549,9 @@ def reconstruction(
                 logger.log(it, m)
             if progress_cb:
                 progress_cb(it, m)
-            if fast_auto and relight and not fast_flipped:
+            if (fast_auto and relight and not fast_flipped
+                    and (cfg.fast_march_end <= 0
+                         or it < cfg.fast_march_end)):
                 # measured density-hardness criteria (psum'd metrics are
                 # process-identical, so every process takes the same
                 # branch at the same iteration):
@@ -671,6 +678,16 @@ def reconstruction(
             # parameter shapes change, so keep the optimizer state — the
             # coincident-event cases are covered by the rebuilds above,
             # which already pass at_iter=it
+            step_fn, _ = build_step(cur_lr_scale, at_iter=it,
+                                    reuse_opt=opt_state)
+
+        if (relight and cfg.fast_march_end > 0
+                and it == cfg.fast_march_end and not rebuilt_this_it):
+            # exact-finish flip (config.py:fast_march_end): lossy knobs
+            # off, cap stays full — same Adam-preserving rebuild
+            if is_main:
+                print(f"[loop] exact-finish flip at iter {it}: fast-march "
+                      "knobs off, full relight cap retained", flush=True)
             step_fn, _ = build_step(cur_lr_scale, at_iter=it,
                                     reuse_opt=opt_state)
 

@@ -377,6 +377,55 @@ def test_fast_march_start_flip(tmp_path):
     assert any(v == 16.0 for it, v in caps.items() if it >= 40), caps
 
 
+def test_fast_march_end_exact_finish(tmp_path):
+    """fast_march_end (exact-finish): the lossy knobs flip back OFF at the
+    configured iteration while the relight cap STAYS at full reference
+    pressure (config.py:fast_march_end — the r5 albedo-tax recovery
+    surface). Curriculum trajectory: core cap 4 before the start flip at
+    30, full cap 16 after it, and STILL 16 after the end flip at 45."""
+    from tensoir_tpu.train.loop import reconstruction
+
+    ds = SyntheticSphereDataset(split="train", n_views=4, img_wh=(32, 32))
+    cfg = TensoIRConfig(
+        n_iters=60,
+        batch_size=256,
+        n_lamb_sigma=(4, 4, 4),
+        n_lamb_sh=(4, 4, 4),
+        data_dim_color=6,
+        featureC=32,
+        N_voxel_init=20 ** 3,
+        N_voxel_final=20 ** 3,
+        upsamp_list=(1000,),
+        update_AlphaMask_list=(20,),
+        step_ratio=2.0,
+        nSamples=48,
+        numLgtSGs=16,
+        envmap_h=4, envmap_w=8,
+        second_nSample=16,
+        app_cap_per_ray=8,
+        relight_ray_cap=16,
+        secondary_tile=256,
+        second_window=12,
+        second_window_back=4,
+        second_prepass_n=8,
+        coarse_dilate=3,
+        app_bake_reso=16,
+        fast_march_start=30,
+        fast_march_end=45,
+        relight_cap_start=4,
+        vis_every=0, save_iters=0, N_vis=0,
+        progress_refresh_rate=10,
+    )
+    result = reconstruction(cfg, ds, log_dir=os.path.join(tmp_path, "log"))
+    assert np.isfinite(result.metrics_history[-1]["total_loss"])
+    caps = {m["iteration"]: m.get("relight_cap_eff")
+            for m in result.metrics_history if "relight_cap_eff" in m}
+    # refreshes at 30/40/50/59: core cap at 30 (flip rebuild runs after
+    # that refresh), full at 40, and the end flip must NOT re-shrink it
+    assert any(v == 4.0 for it, v in caps.items() if it <= 30), caps
+    assert all(v == 16.0 for it, v in caps.items() if it >= 40), caps
+
+
 @pytest.mark.slow
 def test_fast_march_auto_flip(tmp_path):
     """fast_march_start=-1 (auto): the exact march runs until the measured
