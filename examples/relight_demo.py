@@ -91,8 +91,14 @@ def main(argv=None):
         def __getitem__(self, i):
             item = base[i]
             rays = np.asarray(item["rays"], np.float32)
+            # WHITE-composited GT: the r4 metric-protocol fix computes
+            # relight PSNR on the white-bg image (the reference's
+            # load_rgba_white_composite protocol), so the GT must be
+            # white-composited too — an env-bg GT against the white-bg
+            # prediction craters PSNR on background pixels (this exact
+            # mismatch produced the bogus 5.4/4.4 first r5 harvest)
             gt = [base.render_env_gt(rays, read_hdr(
-                os.path.join(hdr_dir, f"{n}.hdr")))
+                os.path.join(hdr_dir, f"{n}.hdr")), background="white")
                 for n in self.light_names]
             item["rgbs"] = np.stack(gt, 0)
             return item
