@@ -270,6 +270,14 @@ class TensoIRConfig:
     fast_march_auto_patience: int = 500
     fast_march_auto_rel_improve: float = 0.02
     fast_march_auto_ceiling: float = 0.15
+    # Spike guard for the plateau flip: the current residual must be
+    # within this factor of the MIN over the trailing patience window —
+    # "typical of the recent signal, not a transient spike". Replaces the
+    # original current≈since-reset-best guard, which the r5 on-chip run
+    # (log/ml_autoflip_r5) proved too strict: the residual dipped to
+    # 0.0204 once then settled at its true 0.031-0.043 floor, and the
+    # poisoned best blocked the flip forever on a healthy plateau.
+    fast_march_auto_spike_tol: float = 1.5
     # Fixed cap of surface rays fed to the relighting branch per batch
     # (replaces dynamic `acc_mask` selection, renderer.py:86-107).
     relight_ray_cap: int = 1024

@@ -321,6 +321,7 @@ def reconstruction(
     # running best residual and the iteration it was last improved at
     auto_best_resid = float("inf")
     auto_best_it = -1
+    auto_recent = []   # (it, resid) refreshes within the patience window
     # effective relight cap of the CURRENT jit phase (curriculum-aware);
     # read by make_meter for honest visibility-ray crediting
     cur_relight_cap = [cfg.relight_ray_cap]
@@ -568,6 +569,11 @@ def reconstruction(
                                 f"{cfg.fast_march_auto_thres}")
                 elif cfg.fast_march_auto_patience > 0 and np.isfinite(resid):
                     band = 1.0 - cfg.fast_march_auto_rel_improve
+                    auto_recent.append((it, resid))
+                    auto_recent = [
+                        (i, r) for i, r in auto_recent
+                        if it - i <= cfg.fast_march_auto_patience]
+                    trailing_min = min(r for _, r in auto_recent)
                     if resid < auto_best_resid * band:
                         auto_best_resid, auto_best_it = resid, it
                     elif (auto_best_it >= 0
@@ -575,8 +581,13 @@ def reconstruction(
                           >= cfg.fast_march_auto_patience
                           and auto_best_resid < cfg.fast_march_auto_ceiling
                           and resid < cfg.fast_march_auto_ceiling
-                          and resid <= auto_best_resid / band):
-                        # at the floor (not on a noise spike above it)
+                          and resid
+                          <= trailing_min * cfg.fast_march_auto_spike_tol):
+                        # typical of the recent window (not a noise spike);
+                        # the residual may legitimately settle ABOVE a
+                        # transient early dip (r5 on-chip finding), so the
+                        # spike guard compares against the trailing min,
+                        # not the since-reset best
                         flip_why = (
                             f"plateau: window_resid_rel {resid:.4f} at "
                             f"best {auto_best_resid:.4f} with no "
@@ -671,6 +682,7 @@ def reconstruction(
             # pre-rebuild patience would let the auto flip fire at the first
             # refresh whose residual re-enters the old best band
             auto_best_resid, auto_best_it = float("inf"), -1
+            auto_recent = []
 
         if (relight and cfg.fast_march_start > 0
                 and it == cfg.fast_march_start and not rebuilt_this_it):
