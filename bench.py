@@ -81,10 +81,14 @@ def main():
                            # compact overflow (log/synthetic_demo_r4_
                            # capgate). On THIS saturated bench scene the
                            # caps drop some weight-bearing pairs; the
-                           # emitted JSON now records the measured value
-                           # (r5 on-chip: sec_app_pair_overflow_frac
-                           # 0.0413 at these caps — the r3-era ~0.47
-                           # figure predated the adopted-cap re-tuning).
+                           # emitted JSON records the measured value per
+                           # run. r5 on-chip probe read 0.0413 vs the r3
+                           # ablation table's 0.539 at the same caps —
+                           # unresolved discrepancy, likely measurement
+                           # state (the probe runs after ~32 optimizer
+                           # steps have evolved the fresh blob; the r3
+                           # number was a different protocol). Trust the
+                           # per-run emitted field, not either comment.
 
     if platform == "cpu":  # CI / local smoke fallback
         B, GRID, N_SAMPLES, RELIGHT_CAP = 256, 48, 64, 256
