@@ -82,12 +82,14 @@ def main():
                            # capgate). On THIS saturated bench scene the
                            # caps drop some weight-bearing pairs; the
                            # emitted JSON records the measured value per
-                           # run. r5 on-chip probe read 0.0413 vs the r3
-                           # ablation table's 0.539 at the same caps —
-                           # unresolved discrepancy, likely measurement
-                           # state (the probe runs after ~32 optimizer
-                           # steps have evolved the fresh blob; the r3
-                           # number was a different protocol). Trust the
+                           # run. r5 on-chip probe read 0.0413 (with
+                           # pair occupancy 0.915 — internally
+                           # consistent) vs the r3 ablation table's
+                           # 0.539/1.69 at nominally the same caps.
+                           # Optimizer-state evolution is RULED OUT (CPU
+                           # probe flat 0.53-0.56 across 32 steps); the
+                           # discrepancy is a scale- or stats-accounting
+                           # difference vs the r3 measurement. Trust the
                            # per-run emitted field, not either comment.
 
     if platform == "cpu":  # CI / local smoke fallback
